@@ -1,0 +1,238 @@
+"""DSP parity tests (SURVEY.md §4/§7: the reference has no tests; the
+rebuild's DSP layer is validated against independent oracles — torch.stft
+for the STFT core, numpy.fft for the DFT basis — plus round-trip and
+invariant checks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from zerospeech_tts_tpu.config import AudioConfig
+from zerospeech_tts_tpu.dsp import audio as A
+from zerospeech_tts_tpu.dsp import wavio
+from zerospeech_tts_tpu.dsp.mel import hz_to_mel, mel_filterbank, mel_to_hz
+
+CFG = AudioConfig(gl_iters=8)
+
+
+def _chirp(n=4000, sr=16000, seed=0):
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(seed)
+    y = 0.5 * np.sin(2 * np.pi * (200 + 800 * t) * t) + 0.01 * rng.standard_normal(n)
+    return y.astype(np.float32)
+
+
+# ---------------------------------------------------------------- mel scale
+
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 250.0, 999.0, 1000.0, 4000.0, 8000.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, atol=1e-6)
+
+
+def test_mel_scale_slaney_break():
+    # linear below 1 kHz: mel(500) == 500 / (200/3)
+    assert hz_to_mel(500.0) == pytest.approx(500.0 / (200.0 / 3.0))
+    # 1 kHz is the break point
+    assert hz_to_mel(1000.0) == pytest.approx(15.0)
+    # logarithmic above: mel(6400) = 15 + 27 (since logstep = ln(6.4)/27)
+    assert hz_to_mel(6400.0) == pytest.approx(42.0)
+
+
+def test_mel_filterbank_invariants():
+    fb = mel_filterbank(16000, 1024, 80)
+    assert fb.shape == (80, 513)
+    assert fb.dtype == np.float32
+    assert (fb >= 0).all()
+    # every filter has support, peaks are monotonically increasing in freq
+    assert (fb.max(axis=1) > 0).all()
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+    # Slaney norm: triangle area ~= 1 in Hz measure => sum * bin_width ~ 1
+    bin_hz = 16000 / 2 / 512
+    areas = fb.sum(axis=1) * bin_hz
+    assert np.all(areas > 0.6) and np.all(areas < 1.4)
+
+
+# ---------------------------------------------------------------- STFT core
+
+
+def test_stft_matches_torch():
+    """torch.stft with identical settings (hann(win) padded to n_fft,
+    center=True reflect) is the independent oracle."""
+    y = _chirp()
+    re, im = A.stft(jnp.asarray(y), CFG, method="fft")
+    win = torch.hann_window(CFG.win_length, periodic=True, dtype=torch.float64)
+    spec = torch.stft(
+        torch.tensor(y, dtype=torch.float64),
+        n_fft=CFG.n_fft,
+        hop_length=CFG.hop_length,
+        win_length=CFG.win_length,
+        window=win,
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    ).numpy()  # [n_freq, T]
+    np.testing.assert_allclose(np.asarray(re).T, spec.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im).T, spec.imag, atol=2e-3)
+
+
+def test_stft_matmul_equals_fft():
+    y = _chirp(2000)
+    r1, i1 = A.stft(jnp.asarray(y), CFG, method="fft")
+    r2, i2 = A.stft(jnp.asarray(y), CFG, method="matmul")
+    # f32 DFT-matmul carries ~1e-3 relative error vs FFT; scale atol to peak
+    tol = 2e-3 * float(jnp.max(jnp.abs(r1)))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=tol)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=tol)
+
+
+def test_istft_roundtrip():
+    y = _chirp()
+    re, im = A.stft(jnp.asarray(y), CFG)
+    out = np.asarray(A.istft(re, im, CFG))
+    n = min(len(out), len(y))
+    np.testing.assert_allclose(out[:n], y[:n], atol=1e-4)
+
+
+def test_istft_matmul_roundtrip():
+    y = _chirp(2000)
+    re, im = A.stft(jnp.asarray(y), CFG, method="matmul")
+    out = np.asarray(A.istft(re, im, CFG, method="matmul"))
+    n = min(len(out), len(y))
+    np.testing.assert_allclose(out[:n], y[:n], atol=1e-3)
+
+
+def test_frame_count():
+    y = _chirp(4000)
+    assert A.n_frames_for(len(y), CFG) == 1 + 4000 // 200
+    re, _ = A.stft(jnp.asarray(y), CFG)
+    assert re.shape == (21, CFG.n_freq)
+
+
+# ------------------------------------------------------------- (de)emphasis
+
+
+def test_preemphasis_roundtrip():
+    y = _chirp(3000)
+    yp = A.preemphasis(jnp.asarray(y), 0.97)
+    back = np.asarray(A.de_emphasis(yp, 0.97))
+    np.testing.assert_allclose(back, y, atol=1e-4)
+
+
+def test_de_emphasis_matches_scipy_lfilter():
+    import scipy.signal
+
+    x = _chirp(1000)
+    ours = np.asarray(A.de_emphasis(jnp.asarray(x), 0.97))
+    ref = scipy.signal.lfilter([1.0], [1.0, -0.97], x)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+# --------------------------------------------------------------- dB mapping
+
+
+def test_db_norm_roundtrip():
+    amp = jnp.asarray(np.geomspace(1e-4, 3.0, 64, dtype=np.float32))
+    x = A.amp_to_db_norm(amp, CFG)
+    assert float(x.min()) >= 0.0 and float(x.max()) <= 1.0
+    back = np.asarray(A.db_norm_to_amp(x, CFG))
+    inside = (np.asarray(amp) > 10 ** ((CFG.ref_db - CFG.max_db) / 20)) & (
+        np.asarray(amp) < 10 ** (CFG.ref_db / 20)
+    )
+    np.testing.assert_allclose(back[inside], np.asarray(amp)[inside], rtol=1e-3)
+
+
+# ---------------------------------------------------------------- frontend
+
+
+def test_get_spectrograms_contract():
+    y = _chirp(8000)
+    mel, mag = A.get_spectrograms(y, CFG)
+    t = A.n_frames_for(len(y), CFG)
+    assert mel.shape == (t, CFG.n_mels) and mag.shape == (t, CFG.n_freq)
+    assert mel.min() >= 0 and mel.max() <= 1 and mag.max() <= 1
+
+
+def test_bucket_padding_does_not_change_features():
+    y = _chirp(3777)
+    mel_a, mag_a = A.get_spectrograms(y, CFG, bucket_frames=64)
+    mel_b, mag_b = A.get_spectrograms(y, CFG, bucket_frames=1)
+    t = A.n_frames_for(len(y), CFG)
+    # all frames fully inside the true signal must be identical; the final
+    # frames overlap the zero padding only via the reflect pad, so compare
+    # frames whose window lies inside the signal.
+    safe = t - (CFG.n_fft // CFG.hop_length + 1)
+    np.testing.assert_allclose(mel_a[:safe], mel_b[:safe], atol=1e-5)
+    np.testing.assert_allclose(mag_a[:safe], mag_b[:safe], atol=1e-5)
+
+
+# --------------------------------------------------------------- Griffin-Lim
+
+
+def test_griffin_lim_recovers_sine():
+    sr = CFG.sr
+    t = np.arange(6000) / sr
+    y = (0.6 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    re, im = A.stft(jnp.asarray(y), CFG)
+    mag = jnp.sqrt(re**2 + im**2)
+    out = np.asarray(A.griffin_lim(mag, CFG, n_iters=32))
+    # spectral peak must be at 440 Hz
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    freqs = np.fft.rfftfreq(len(out), 1 / sr)
+    assert abs(freqs[spec.argmax()] - 440) < 5
+    # and reconstruction error should be small in magnitude domain
+    re2, im2 = A.stft(jnp.asarray(out), CFG)
+    mag2 = np.sqrt(np.asarray(re2) ** 2 + np.asarray(im2) ** 2)
+    rel = np.linalg.norm(mag2[2:-2] - np.asarray(mag)[2:-2]) / np.linalg.norm(np.asarray(mag)[2:-2])
+    assert rel < 0.15
+
+
+def test_spectrogram2wav_end_to_end():
+    y = _chirp(6000)
+    _, mag = A.get_spectrograms(y, CFG, bucket_frames=1)
+    out = np.asarray(A.spectrogram2wav(jnp.asarray(mag), CFG, n_iters=8))
+    assert out.shape == ((mag.shape[0] - 1) * CFG.hop_length,)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() > 1e-3  # produced actual audio
+
+
+def test_melspectrogram2wav_runs():
+    y = _chirp(4000)
+    mel, _ = A.get_spectrograms(y, CFG, bucket_frames=1)
+    out = np.asarray(A.melspectrogram2wav(jnp.asarray(mel), CFG, n_iters=4))
+    assert np.isfinite(out).all() and out.ndim == 1
+
+
+# ------------------------------------------------------------------ wav IO
+
+
+def test_wav_io_roundtrip(tmp_path):
+    y = _chirp(3000)
+    p = tmp_path / "a.wav"
+    wavio.save_wav(p, y, 16000)
+    back = wavio.load_wav(p, 16000)
+    assert back.dtype == np.float32
+    np.testing.assert_allclose(back, y, atol=1e-3)
+
+
+def test_wav_io_resample(tmp_path):
+    t = np.arange(8000) / 8000.0
+    y = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    p = tmp_path / "b.wav"
+    import scipy.io.wavfile
+
+    scipy.io.wavfile.write(str(p), 8000, (y * 32767).astype(np.int16))
+    out = wavio.load_wav(p, 16000)
+    assert abs(len(out) - 16000) < 10
+
+
+def test_trim_silence():
+    y = np.concatenate(
+        [np.zeros(4000), 0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000), np.zeros(4000)]
+    ).astype(np.float32)
+    out = wavio.trim_silence(y, top_db=20)
+    assert len(out) < len(y)
+    assert len(out) >= 7000  # kept the tone
+    assert np.abs(out).max() == np.abs(y).max()
