@@ -1,0 +1,139 @@
+"""Solver integration tests: each phase runs jitted, losses decrease on a
+learnable toy problem, GAN steps produce finite updates, checkpoints
+round-trip (SURVEY.md §4 rebuild test pyramid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zerospeech_tts_tpu.train import CheckpointManager, Solver
+
+
+@pytest.fixture(scope="module")
+def solver(request):
+    tiny = request.getfixturevalue("tiny_hps")
+    return Solver(tiny.replace(lr=2e-3, lat_sched_iters=10))
+
+
+@pytest.fixture(scope="module")
+def _state_master(solver):
+    return solver.init_state(jax.random.PRNGKey(0))
+
+
+@pytest.fixture()
+def state0(_state_master):
+    # step fns donate their input state; give each test a fresh copy
+    return jax.tree.map(jnp.copy, _state_master)
+
+
+def _batch(h, seed=0, stage2=False):
+    rng = np.random.default_rng(seed)
+    spk = rng.integers(0, h.n_speakers, h.batch_size)
+    # speaker-dependent deterministic patterns -> classifier CAN learn,
+    # reconstruction CAN fit
+    t = np.arange(h.seg_len)[None, :, None] / h.seg_len
+    f = np.arange(h.n_feat)[None, None, :] / h.n_feat
+    x = 0.5 + 0.4 * np.sin(2 * np.pi * (spk[:, None, None] + 1) * f + 4 * np.pi * t)
+    x = (x + 0.01 * rng.standard_normal(x.shape)).astype(np.float32)
+    b = {"x": jnp.asarray(x), "spk": jnp.asarray(spk, dtype=jnp.int32)}
+    if stage2:
+        b["x_real"] = b["x"]
+        b["spk_real"] = b["spk"]
+    return b
+
+
+def test_pretrain_ae_loss_decreases(solver, state0):
+    h = solver.hps
+    state = state0
+    losses = []
+    for i in range(12):
+        state, m = solver.step_pretrain_ae(state, _batch(h, i % 3))
+        losses.append(float(m["loss_rec"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_pretrain_clf_learns(solver):
+    # continuous latents + no dropout + fixed batch: the classifier must be
+    # able to memorize speaker labels, so CE must fall
+    s = Solver(solver.hps.replace(lr=2e-3, enc_mode="continues", dis_dp=0.0))
+    state = s.init_state(jax.random.PRNGKey(0))
+    batch = _batch(s.hps, 0)
+    losses = []
+    for _ in range(20):
+        state, m = s.step_pretrain_clf(state, batch)
+        losses.append(float(m["loss_clf"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_stage1_train_step(solver, state0):
+    h = solver.hps
+    state, m = solver.step_train(state0, _batch(h))
+    for k in ("loss_rec", "loss_clf", "loss_adv", "acc_clf", "alpha"):
+        assert np.isfinite(float(m[k])), (k, m)
+    assert int(state.step) == 1
+    # alpha annealing: small at step 0
+    assert float(m["alpha"]) <= solver.hps.alpha_enc
+
+
+def test_alpha_annealing(solver, state0):
+    s10 = state0.replace(step=jnp.asarray(5, jnp.int32))
+    a = float(solver._alpha(s10.step))
+    assert 0 < a < solver.hps.alpha_enc
+    s_full = state0.replace(step=jnp.asarray(10_000, jnp.int32))
+    assert float(solver._alpha(s_full.step)) == pytest.approx(solver.hps.alpha_enc)
+
+
+def test_stage2_patchgan_steps(solver, state0):
+    h = solver.hps
+    state = state0
+    state, md = solver.step_patch_d(state, _batch(h, stage2=True))
+    state, mg = solver.step_patch_g(state, _batch(h, stage2=True))
+    for k in ("loss_d", "w_dist", "grad_penalty"):
+        assert np.isfinite(float(md[k])), (k, md)
+    for k in ("loss_g", "loss_g_adv", "loss_g_cls"):
+        assert np.isfinite(float(mg[k])), (k, mg)
+    assert float(md["grad_penalty"]) >= 0
+
+
+def test_gan_updates_change_params(solver, state0):
+    h = solver.hps
+    before = jax.tree.leaves(state0.dis)[0].copy()
+    state, _ = solver.step_patch_d(state0, _batch(h, stage2=True))
+    after = jax.tree.leaves(state.dis)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_train_loop_orchestration(solver):
+    h = solver.hps
+    state = solver.init_state(jax.random.PRNGKey(1))
+
+    def it():
+        i = 0
+        while True:
+            yield _batch(h, i, stage2=True)
+            i += 1
+
+    state = solver.train(state, it(), "pretrain_AE", iters=2)
+    state = solver.train(state, it(), "train", iters=2)
+    assert int(state.step) == 4
+    state = solver.train(state, it(), "patchGAN", iters=1)
+    assert int(state.step) == 4 + h.n_critic + 1
+
+
+def test_checkpoint_roundtrip(solver, tmp_path):
+    state = solver.init_state(jax.random.PRNGKey(2))
+    state, _ = solver.step_pretrain_ae(state, _batch(solver.hps))
+    ckpt = CheckpointManager(tmp_path / "ckpt")
+    ckpt.save(state, wait=True)
+    assert ckpt.latest_step() == 1
+    template = solver.init_state(jax.random.PRNGKey(3))
+    restored = ckpt.restore(template)
+    ckpt.close()
+    assert int(restored.step) == 1
+    a = jax.tree.leaves(state.enc)
+    b = jax.tree.leaves(restored.enc)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

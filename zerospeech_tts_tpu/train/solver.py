@@ -1,0 +1,374 @@
+"""Solver — the training runtime (ref solver.py:~1-500; SURVEY.md §2/§3.2-3.3).
+
+Reference contract being rebuilt:
+
+* stage-1 phases (ref ``Solver.train(model_path, flag, mode)``):
+  ``pretrain_AE`` (reconstruction only), ``pretrain_C`` (speaker classifier
+  on latents), ``train`` (alternating classifier step + adversarial
+  autoencoder step, with the adversarial weight annealed over
+  ``lat_sched_iters`` — ref encode_step/decode_step/clf_step).
+* stage-2 ``patchGAN`` (ref patch_step/gen_step): WGAN-GP patch critic with
+  auxiliary speaker head, n_critic D steps per G step, generator =
+  stage-1 decoder fine-tuned toward sampled target speakers (ref sample_c).
+
+TPU-first design (not a torch translation): every phase is ONE jitted,
+donated step function over a TrainState pytree — classifier update and
+adversarial AE update fuse into a single XLA program; the WGAN gradient
+penalty differentiates through the critic inside the same program. Batch
+sharding across the mesh happens by placing the batch with a
+NamedSharding and letting pjit insert the psum for the grads (see
+zerospeech_tts_tpu.parallel); the step functions themselves stay
+sharding-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from zerospeech_tts_tpu.config import Hps
+from zerospeech_tts_tpu.models import (
+    Decoder,
+    Encoder,
+    PatchDiscriminator,
+    SpeakerClassifier,
+    discretize,
+)
+
+Params = Any
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    rng: jax.Array
+    enc: Params
+    dec: Params
+    clf: Params
+    dis: Params
+    opt_enc: Any
+    opt_dec: Any
+    opt_clf: Any
+    opt_dis: Any
+
+
+def _ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def _acc(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.argmax(logits, -1) == labels).mean()
+
+
+class Solver:
+    """Owns the four modules + four Adam optimizers (ref Solver.__init__)."""
+
+    def __init__(self, hps: Hps):
+        self.hps = hps
+        self.encoder = Encoder(hps)
+        self.decoder = Decoder(hps)
+        self.classifier = SpeakerClassifier(hps)
+        self.discriminator = PatchDiscriminator(hps)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(hps.max_grad_norm),
+            optax.adam(hps.lr, b1=hps.beta1, b2=hps.beta2),
+        )
+
+    # ------------------------------------------------------------- state
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        h = self.hps
+        ke, kd, kc, kp, kr = jax.random.split(rng, 5)
+        x = jnp.zeros((1, h.seg_len, h.n_feat), jnp.float32)
+        z = jnp.zeros((1, h.n_bins, h.emb_size), jnp.float32)
+        spk = jnp.zeros((1,), jnp.int32)
+        enc = self.encoder.init(ke, x)
+        dec = self.decoder.init(kd, z, spk)
+        clf = self.classifier.init(kc, z)
+        dis = self.discriminator.init(kp, x)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            rng=kr,
+            enc=enc,
+            dec=dec,
+            clf=clf,
+            dis=dis,
+            opt_enc=self.tx.init(enc),
+            opt_dec=self.tx.init(dec),
+            opt_clf=self.tx.init(clf),
+            opt_dis=self.tx.init(dis),
+        )
+
+    # ------------------------------------------------------- shared pieces
+
+    def _encode_latent(self, enc_params, x, rng, train: bool):
+        """encode_step: spectrogram -> discretized latent (ref encode_step)."""
+        h = self.hps
+        rngs = {"dropout": rng} if train else {}
+        k_gumbel = jax.random.fold_in(rng, 1)
+        logits = self.encoder.apply(enc_params, x, train=train, rngs=rngs)
+        z = discretize(logits, h.enc_mode, h.gumbel_temp, k_gumbel if train else None)
+        return z
+
+    def _alpha(self, step):
+        """Adversarial-weight annealing over lat_sched_iters (ref solver)."""
+        h = self.hps
+        return h.alpha_enc * jnp.minimum(1.0, step.astype(jnp.float32) / h.lat_sched_iters)
+
+    # ---------------------------------------------------------- stage 1
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step_pretrain_ae(self, state: TrainState, batch):
+        """pretrain_AE: reconstruction-only warmup of Encoder+Decoder."""
+        x, spk = batch["x"], batch["spk"]
+        rng, k = jax.random.split(state.rng)
+
+        def loss_fn(enc_params, dec_params):
+            z = self._encode_latent(enc_params, x, k, train=True)
+            xh = self.decoder.apply(
+                dec_params, z, spk, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
+            )
+            return jnp.abs(xh - x).mean()
+
+        (l_rec, (g_enc, g_dec)) = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.enc, state.dec)
+        u_enc, opt_enc = self.tx.update(g_enc, state.opt_enc, state.enc)
+        u_dec, opt_dec = self.tx.update(g_dec, state.opt_dec, state.dec)
+        state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            enc=optax.apply_updates(state.enc, u_enc),
+            dec=optax.apply_updates(state.dec, u_dec),
+            opt_enc=opt_enc,
+            opt_dec=opt_dec,
+        )
+        return state, {"loss_rec": l_rec}
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step_pretrain_clf(self, state: TrainState, batch):
+        """pretrain_C: train SpeakerClassifier on (frozen-encoder) latents."""
+        x, spk = batch["x"], batch["spk"]
+        rng, k = jax.random.split(state.rng)
+        z = jax.lax.stop_gradient(self._encode_latent(state.enc, x, k, train=True))
+
+        def loss_fn(clf_params):
+            logits = self.classifier.apply(
+                clf_params, z, train=True, rngs={"dropout": jax.random.fold_in(k, 3)}
+            )
+            return self.hps.alpha_dis * _ce(logits, spk), logits
+
+        (l_clf, logits), g = jax.value_and_grad(loss_fn, has_aux=True)(state.clf)
+        u, opt_clf = self.tx.update(g, state.opt_clf, state.clf)
+        state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            clf=optax.apply_updates(state.clf, u),
+            opt_clf=opt_clf,
+        )
+        return state, {"loss_clf": l_clf, "acc_clf": _acc(logits, spk)}
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step_train(self, state: TrainState, batch):
+        """Stage-1 main phase: one fused XLA program doing
+        (a) classifier update on current latents, then
+        (b) adversarial AE update L_rec - alpha * L_clf (ref train mode:
+        clf_step + encode/decode_step + adversarial encoder update)."""
+        x, spk = batch["x"], batch["spk"]
+        h = self.hps
+        rng, k = jax.random.split(state.rng)
+        alpha = self._alpha(state.step)
+
+        # (a) classifier step
+        z_sg = jax.lax.stop_gradient(self._encode_latent(state.enc, x, k, train=True))
+
+        def clf_loss(clf_params):
+            logits = self.classifier.apply(
+                clf_params, z_sg, train=True, rngs={"dropout": jax.random.fold_in(k, 3)}
+            )
+            return h.alpha_dis * _ce(logits, spk), logits
+
+        (l_clf, clf_logits), g_clf = jax.value_and_grad(clf_loss, has_aux=True)(state.clf)
+        u_clf, opt_clf = self.tx.update(g_clf, state.opt_clf, state.clf)
+        clf_new = optax.apply_updates(state.clf, u_clf)
+
+        # (b) adversarial AE step against the *updated* classifier
+        def ae_loss(enc_params, dec_params):
+            z = self._encode_latent(enc_params, x, k, train=True)
+            xh = self.decoder.apply(
+                dec_params, z, spk, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
+            )
+            l_rec = jnp.abs(xh - x).mean()
+            adv_logits = self.classifier.apply(clf_new, z, train=False)
+            l_adv = _ce(adv_logits, spk)  # encoder wants this LARGE
+            return l_rec - alpha * l_adv, (l_rec, l_adv)
+
+        (_, (l_rec, l_adv)), (g_enc, g_dec) = jax.value_and_grad(
+            ae_loss, argnums=(0, 1), has_aux=True
+        )(state.enc, state.dec)
+        u_enc, opt_enc = self.tx.update(g_enc, state.opt_enc, state.enc)
+        u_dec, opt_dec = self.tx.update(g_dec, state.opt_dec, state.dec)
+
+        state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            enc=optax.apply_updates(state.enc, u_enc),
+            dec=optax.apply_updates(state.dec, u_dec),
+            clf=clf_new,
+            opt_enc=opt_enc,
+            opt_dec=opt_dec,
+            opt_clf=opt_clf,
+        )
+        metrics = {
+            "loss_rec": l_rec,
+            "loss_clf": l_clf,
+            "loss_adv": l_adv,
+            "acc_clf": _acc(clf_logits, spk),
+            "alpha": alpha,
+        }
+        return state, metrics
+
+    # ---------------------------------------------------------- stage 2
+
+    def _generate(self, state, x_src, spk_tgt, k):
+        z = self._encode_latent(state.enc, x_src, k, train=True)
+        return self.decoder.apply(
+            state.dec, z, spk_tgt, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step_patch_d(self, state: TrainState, batch):
+        """patch_step (ref): WGAN-GP critic update.
+
+        batch: x_src (any speaker), x_real + spk_real (real segments of the
+        speakers being imitated). Target speakers for fakes are sampled
+        uniformly from the real-speaker labels (ref sample_c).
+        """
+        h = self.hps
+        x_src, x_real, spk_real = batch["x"], batch["x_real"], batch["spk_real"]
+        rng, k = jax.random.split(state.rng)
+        spk_tgt = jax.random.choice(jax.random.fold_in(k, 4), spk_real, (x_src.shape[0],))
+        x_fake = jax.lax.stop_gradient(self._generate(state, x_src, spk_tgt, k))
+
+        def d_loss(dis_params):
+            patch_real, cls_real = self.discriminator.apply(
+                dis_params, x_real, train=True, rngs={"dropout": jax.random.fold_in(k, 5)}
+            )
+            patch_fake, _ = self.discriminator.apply(
+                dis_params, x_fake, train=True, rngs={"dropout": jax.random.fold_in(k, 6)}
+            )
+            w_dist = patch_real.mean() - patch_fake.mean()
+
+            # gradient penalty on interpolates (ref calculate_gradients_penalty)
+            eps = jax.random.uniform(jax.random.fold_in(k, 7), (x_real.shape[0], 1, 1))
+            x_hat = eps * x_real + (1.0 - eps) * x_fake
+
+            def critic(xi):
+                p, _ = self.discriminator.apply(dis_params, xi[None], train=False)
+                return p.mean()
+
+            g_int = jax.vmap(jax.grad(critic))(x_hat)
+            gnorm = jnp.sqrt(jnp.sum(g_int**2, axis=(1, 2)) + 1e-12)
+            gp = ((gnorm - 1.0) ** 2).mean()
+
+            l_cls = _ce(cls_real, spk_real)
+            loss = h.beta_dis * (-w_dist) + h.lambda_ * gp + h.beta_clf * l_cls
+            return loss, (w_dist, gp, l_cls, cls_real)
+
+        (l_d, (w_dist, gp, l_cls, cls_real)), g = jax.value_and_grad(d_loss, has_aux=True)(
+            state.dis
+        )
+        u, opt_dis = self.tx.update(g, state.opt_dis, state.dis)
+        state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            dis=optax.apply_updates(state.dis, u),
+            opt_dis=opt_dis,
+        )
+        return state, {
+            "loss_d": l_d,
+            "w_dist": w_dist,
+            "grad_penalty": gp,
+            "loss_d_cls": l_cls,
+            "acc_d_cls": _acc(cls_real, spk_real),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step_patch_g(self, state: TrainState, batch):
+        """gen_step (ref): generator (decoder) update — fool the critic and
+        land the auxiliary classifier on the sampled target speaker."""
+        h = self.hps
+        x_src, spk_real = batch["x"], batch["spk_real"]
+        rng, k = jax.random.split(state.rng)
+        spk_tgt = jax.random.choice(jax.random.fold_in(k, 4), spk_real, (x_src.shape[0],))
+
+        def g_loss(dec_params):
+            z = jax.lax.stop_gradient(self._encode_latent(state.enc, x_src, k, train=True))
+            x_fake = self.decoder.apply(
+                dec_params, z, spk_tgt, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
+            )
+            patch_fake, cls_fake = self.discriminator.apply(state.dis, x_fake, train=False)
+            l_adv = -patch_fake.mean()
+            l_cls = _ce(cls_fake, spk_tgt)
+            return h.beta_gen * l_adv + h.beta_clf * l_cls, (l_adv, l_cls)
+
+        (l_g, (l_adv, l_cls)), g = jax.value_and_grad(g_loss, has_aux=True)(state.dec)
+        u, opt_dec = self.tx.update(g, state.opt_dec, state.dec)
+        state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            dec=optax.apply_updates(state.dec, u),
+            opt_dec=opt_dec,
+        )
+        return state, {"loss_g": l_g, "loss_g_adv": l_adv, "loss_g_cls": l_cls}
+
+    # -------------------------------------------------------- orchestration
+
+    MODES = ("pretrain_AE", "pretrain_C", "train", "patchGAN")
+
+    def step_fn(self, mode: str) -> Callable:
+        return {
+            "pretrain_AE": self.step_pretrain_ae,
+            "pretrain_C": self.step_pretrain_clf,
+            "train": self.step_train,
+        }[mode]
+
+    def train(
+        self,
+        state: TrainState,
+        data_iter,
+        mode: str,
+        iters: int,
+        logger=None,
+        ckpt=None,
+        log_interval: int | None = None,
+        save_interval: int | None = None,
+    ) -> TrainState:
+        """Training loop for one phase (ref Solver.train). ``data_iter``
+        yields batch dicts; stage-2 alternates n_critic D steps per G step."""
+        h = self.hps
+        log_interval = log_interval or h.log_interval
+        save_interval = save_interval or h.save_interval
+
+        if mode == "patchGAN":
+            for i in range(iters):
+                for _ in range(h.n_critic):
+                    state, m_d = self.step_patch_d(state, next(data_iter))
+                state, m_g = self.step_patch_g(state, next(data_iter))
+                if logger and (i + 1) % log_interval == 0:
+                    logger.log(int(state.step), {**m_d, **m_g}, prefix=mode)
+                if ckpt and (i + 1) % save_interval == 0:
+                    ckpt.save(state)
+            return state
+
+        step = self.step_fn(mode)
+        for i in range(iters):
+            state, metrics = step(state, next(data_iter))
+            if logger and (i + 1) % log_interval == 0:
+                logger.log(int(state.step), metrics, prefix=mode)
+            if ckpt and (i + 1) % save_interval == 0:
+                ckpt.save(state)
+        return state
