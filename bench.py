@@ -1,0 +1,145 @@
+"""Headline benchmark (BASELINE.json north-star): corpus conversion
+throughput — encode -> MBV-binarize -> decode(target speaker) ->
+Griffin-Lim — in utterances/sec/chip, vs the reference's CPU
+librosa/numpy-style Griffin-Lim path (SURVEY.md §3.4: the reference stack
+is CPU-GL-dominated; no published number exists, so the baseline is
+measured in-process with an equivalent numpy implementation).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _numpy_reference_gl(mag: np.ndarray, cfg, n_iters: int) -> np.ndarray:
+    """The reference's vocoder path: plain Griffin-Lim with numpy FFTs
+    (librosa-equivalent semantics: same window/center/norm as our jitted
+    version, zero-phase init, no momentum)."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    win = np.zeros(n_fft, np.float64)
+    n = np.arange(cfg.win_length)
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * n / cfg.win_length)
+    lpad = (n_fft - cfg.win_length) // 2
+    win[lpad : lpad + cfg.win_length] = w
+
+    t = mag.shape[0]
+    out_len = (t - 1) * hop + n_fft
+    idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
+    wss = np.zeros(out_len)
+    np.add.at(wss, idx, win[None, :] ** 2)
+    wss = np.where(wss > 1e-11, wss, 1.0)
+
+    def istft(spec):
+        frames = np.fft.irfft(spec, n=n_fft, axis=-1) * win
+        y = np.zeros(out_len)
+        np.add.at(y, idx, frames)
+        y = y / wss
+        return y[n_fft // 2 : -(n_fft // 2)]
+
+    def stft(y):
+        pad = n_fft // 2
+        ypad = np.pad(y, (pad, pad), mode="reflect")
+        fr = ypad[idx] * win
+        return np.fft.rfft(fr, n=n_fft, axis=-1)
+
+    spec = mag.astype(np.complex128)
+    for _ in range(n_iters):
+        x = istft(spec)
+        est = stft(x)
+        phase = est / np.maximum(np.abs(est), 1e-8)
+        spec = mag * phase
+    return istft(spec)
+
+
+def main():
+    import jax
+
+    from zerospeech_tts_tpu.config import AudioConfig, Hps
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+    from zerospeech_tts_tpu.models import Decoder, Encoder
+
+    quick = "--quick" in sys.argv
+
+    hps = Hps()  # flagship geometry (seg 128 / 513 feat / 1024-bit MBV)
+    acfg = AudioConfig()
+    platform = jax.devices()[0].platform
+    n_utts = 16 if not quick else 4
+    n_frames = 512  # ~6.4 s of audio per utterance
+    gl_iters = acfg.gl_iters  # 100, matching the reference default
+
+    # synthetic utterances through the real frontend
+    rng = np.random.default_rng(0)
+    sr = acfg.sr
+    feats = []
+    for i in range(n_utts):
+        n = (n_frames - 1) * acfg.hop_length
+        t = np.arange(n) / sr
+        f0 = 150 + 20 * i
+        y = (
+            0.4 * np.sin(2 * np.pi * f0 * t)
+            + 0.2 * np.sin(2 * np.pi * 3 * f0 * t)
+            + 0.01 * rng.standard_normal(n)
+        ).astype(np.float32)
+        _, lin = dsp_audio.get_spectrograms(y, acfg, bucket_frames=64)
+        feats.append(lin)
+
+    # flagship model params (random init — conversion cost is arch-dependent,
+    # not weight-dependent)
+    k = jax.random.PRNGKey(0)
+    enc, dec = Encoder(hps), Decoder(hps)
+    x0 = np.zeros((1, hps.seg_len, hps.n_feat), np.float32)
+    enc_params = enc.init(k, x0)
+    dec_params = dec.init(
+        k, np.zeros((1, hps.n_bins, hps.emb_size), np.float32), np.zeros((1,), np.int32)
+    )
+    conv = Converter(
+        hps, acfg, enc_params, dec_params, gl_iters=gl_iters, batch_size=min(8, n_utts)
+    )
+
+    # warmup (compile)
+    conv.convert_features(feats[:1], 0)
+    # timed TPU/accelerator path
+    t0 = time.perf_counter()
+    results = conv.convert_features(feats, 0)
+    dt = time.perf_counter() - t0
+    utt_per_sec = n_utts / dt
+    audio_seconds = sum(len(w) for _, w in results) / sr
+    rtf = audio_seconds / dt  # >1 means faster than realtime
+
+    # reference CPU path on the same magnitudes (GL dominates; measure 2 utts)
+    n_ref = 1 if quick else 2
+    mag_amp = np.power(10.0, (np.clip(feats[0], 0, 1) * acfg.max_db - acfg.max_db + acfg.ref_db) * 0.05)
+    t0 = time.perf_counter()
+    for _ in range(n_ref):
+        _numpy_reference_gl(mag_amp**acfg.gl_power, acfg, gl_iters)
+    ref_dt = time.perf_counter() - t0
+    ref_utt_per_sec = n_ref / ref_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_conversion_throughput",
+                "value": round(utt_per_sec, 4),
+                "unit": "utterances/sec/chip (encode+convert+GriffinLim-100, 6.4s utts)",
+                "vs_baseline": round(utt_per_sec / ref_utt_per_sec, 2),
+                "baseline": round(ref_utt_per_sec, 4),
+                "baseline_desc": "reference CPU numpy Griffin-Lim path (vocoder only, lower bound on ref cost)",
+                "rtf": round(rtf, 2),
+                "platform": platform,
+                "n_utts": n_utts,
+                "gl_iters": gl_iters,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

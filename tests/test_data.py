@@ -1,0 +1,102 @@
+"""L2 data-layer tests: corpus build contract, per-speaker stats, segment
+index, loader batch shapes + pairs (SURVEY.md §2 L2 rows)."""
+
+import json
+
+import h5py
+import numpy as np
+import pytest
+
+from zerospeech_tts_tpu.config import AudioConfig, Hps
+from zerospeech_tts_tpu.data import SegmentLoader, build_corpus, make_segment_index, speaker_of
+from zerospeech_tts_tpu.dsp.wavio import save_wav
+
+ACFG = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20)
+
+
+def _toy_corpus(root, n_utt=2, seconds=0.6):
+    rng = np.random.default_rng(0)
+    for split, speakers in [("train", ["S01", "S02", "V001"]), ("test", ["S09"])]:
+        sub = "unit" if split == "train" else ""
+        for spk in speakers:
+            for i in range(n_utt):
+                n = int(seconds * 16000)
+                t = np.arange(n) / 16000
+                f0 = 200 + 60 * int(spk[-1]) + 25 * i
+                y = (0.4 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.standard_normal(n)).astype(
+                    np.float32
+                )
+                d = root / split / sub if sub else root / split
+                save_wav(d / f"{spk}_{i:04d}.wav", y, 16000)
+    return root
+
+
+def test_speaker_of_prefix_and_dir(tmp_path):
+    from pathlib import Path
+
+    assert speaker_of(Path("x/S015_0361841101.wav")) == "S015"
+    assert speaker_of(Path("x/V001-abc.wav")) == "V001"
+    assert speaker_of(Path("corpus/train/unit/SPKR7/utterance.wav")) == "SPKR7"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    _toy_corpus(root)
+    h5 = tmp_path_factory.mktemp("data") / "ds.h5"
+    manifest = build_corpus(root, h5, ACFG, trim=False)
+    return root, h5, manifest
+
+
+def test_build_corpus_layout(corpus):
+    root, h5, manifest = corpus
+    assert manifest["counts"] == {"train": 6, "test": 2}
+    assert set(manifest["speakers"]) == {"S01", "S02", "V001", "S09"}
+    with h5py.File(h5, "r") as f:
+        mel = f["train/S01/S01_0000/mel"][:]
+        lin = f["train/S01/S01_0000/lin"][:]
+        assert mel.shape[1] == ACFG.n_mels and lin.shape[1] == ACFG.n_freq
+        assert mel.shape[0] == lin.shape[0] > 50
+        assert 0 <= mel.min() and mel.max() <= 1
+        # per-speaker stats present for train speakers
+        for spk in ("S01", "S02", "V001"):
+            assert f[f"stats/{spk}/mel_mean"].shape == (ACFG.n_mels,)
+            assert (f[f"stats/{spk}/lin_std"][:] > 0).all()
+        assert json.loads(f.attrs["speakers"]) == manifest["speakers"]
+
+
+def test_segment_index_and_loader(corpus, tmp_path):
+    root, h5, manifest = corpus
+    hps = Hps(batch_size=4, seg_len=32, n_feat=ACFG.n_freq, n_speakers=len(manifest["speakers"]))
+    idx = tmp_path / "index.json"
+    entries = make_segment_index(h5, idx, hps.seg_len, 100, seed=1)
+    assert len(entries) == 100
+    assert all(e["t0"] >= 0 and "t1" in e for e in entries)
+
+    with SegmentLoader(h5, idx, hps, feat="lin", target_speakers=["V001"], prefetch=0) as dl:
+        b = next(iter(dl))
+        assert b["x"].shape == (4, 32, ACFG.n_freq)
+        assert b["x2"].shape == (4, 32, ACFG.n_freq)
+        assert b["spk"].shape == (4,) and b["spk"].dtype == np.int32
+        # stage-2 reals come only from V001
+        v = dl.speakers["V001"]
+        assert set(np.asarray(b["spk_real"]).tolist()) == {v}
+        # pairs come from the same utterance -> statistically correlated
+        assert np.isfinite(np.asarray(b["x"])).all()
+
+
+def test_loader_prefetch_thread(corpus, tmp_path):
+    root, h5, manifest = corpus
+    hps = Hps(batch_size=2, seg_len=16, n_feat=ACFG.n_freq, n_speakers=4)
+    idx = tmp_path / "index.json"
+    make_segment_index(h5, idx, hps.seg_len, 50, seed=2)
+    with SegmentLoader(h5, idx, hps, prefetch=2) as dl:
+        it = iter(dl)
+        batches = [next(it) for _ in range(5)]
+        assert all(b["x"].shape == (2, 16, ACFG.n_freq) for b in batches)
+
+
+def test_segment_index_rejects_too_long(corpus, tmp_path):
+    root, h5, manifest = corpus
+    with pytest.raises(ValueError, match="no utterance"):
+        make_segment_index(h5, tmp_path / "i.json", 10_000, 10)

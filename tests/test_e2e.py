@@ -1,0 +1,183 @@
+"""End-to-end slice through the real CLI (SURVEY.md §7 "Minimum end-to-end
+slice"): preprocess -> stage-1 train -> stage-2 train -> corpus convert ->
+single-utterance convert, on a synthetic 3-speaker toy corpus."""
+
+import json
+
+import numpy as np
+import pytest
+
+from zerospeech_tts_tpu.cli import main as cli_main
+from zerospeech_tts_tpu.convert import read_units
+from zerospeech_tts_tpu.dsp.wavio import load_wav, save_wav
+
+TINY_AUDIO = {
+    "n_fft": 256,
+    "hop_length": 64,
+    "win_length": 256,
+    "n_mels": 20,
+    "gl_iters": 8,
+}
+TINY_HPS = {
+    "batch_size": 4,
+    "seg_len": 32,
+    "n_feat": 129,
+    "emb_size": 16,
+    "spk_emb_size": 8,
+    "n_speakers": 8,
+    "bank_size": 4,
+    "bank_channels": 8,
+    "conv_channels": 16,
+    "n_critic": 1,
+    "log_interval": 1,
+    "save_interval": 100,
+    "audio": TINY_AUDIO,
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    hps_path = root / "hps.json"
+    hps_path.write_text(json.dumps(TINY_HPS))
+
+    corpus = root / "corpus"
+    rng = np.random.default_rng(0)
+    for split, speakers in [("train", ["S01", "S02", "V001", "V002"]), ("test", ["S09"])]:
+        for spk in speakers:
+            for i in range(2):
+                n = 12000
+                t = np.arange(n) / 16000
+                f0 = 180 + 50 * (hash(spk) % 5) + 30 * i
+                y = (0.4 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.standard_normal(n)).astype(
+                    np.float32
+                )
+                save_wav(corpus / split / f"{spk}_{i:04d}.wav", y, 16000)
+
+    ds = root / "ds.h5"
+    idx = root / "index.json"
+    ckpt = root / "ckpt"
+    out = root / "result"
+    return dict(root=root, hps=hps_path, corpus=corpus, ds=ds, idx=idx, ckpt=ckpt, out=out)
+
+
+def test_01_preprocess(pipeline):
+    p = pipeline
+    cli_main(
+        [
+            "preprocess",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "--corpus", str(p["corpus"]),
+            "-dataset_path", str(p["ds"]),
+            "-index_path", str(p["idx"]),
+            "--n-samples", "200",
+        ]
+    )
+    assert p["ds"].exists() and p["idx"].exists()
+    assert len(json.loads(p["idx"].read_text())) == 200
+
+
+def test_02_train_stage1(pipeline):
+    p = pipeline
+    cli_main(
+        [
+            "train1",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-index_path", str(p["idx"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "--iters-override", "2",
+        ]
+    )
+    assert any(p["ckpt"].iterdir())
+    metrics = [
+        json.loads(l) for l in open(p["ckpt"] / "logs" / "metrics.jsonl") if l.strip()
+    ]
+    modes = {m["mode"] for m in metrics}
+    assert {"pretrain_AE", "pretrain_C", "train"} <= modes
+
+
+def test_03_train_stage2(pipeline):
+    p = pipeline
+    cli_main(
+        [
+            "train2",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-index_path", str(p["idx"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "--iters-override", "2",
+            "--targets", "V001", "V002",
+        ]
+    )
+    metrics = [
+        json.loads(l) for l in open(p["ckpt"] / "logs" / "metrics.jsonl") if l.strip()
+    ]
+    assert any(m["mode"] == "patchGAN" for m in metrics)
+
+
+def test_04_convert_corpus(pipeline):
+    p = pipeline
+    cli_main(
+        [
+            "convert",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "-result_dir", str(p["out"]),
+            "--target", "V001", "V002",
+            "--gl-iters", "4",
+            "--batch-size", "2",
+        ]
+    )
+    units = sorted((p["out"] / "units").glob("*.txt"))
+    assert len(units) == 2  # test split has 2 utterances
+    u = read_units(units[0])
+    assert u.shape[1] == TINY_HPS["emb_size"]
+    assert set(np.unique(u)).issubset({0, 1})
+    for tgt in ("V001", "V002"):
+        wavs = sorted((p["out"] / tgt).glob("*.wav"))
+        assert len(wavs) == 2
+        y = load_wav(wavs[0], 16000)
+        assert len(y) > 1000 and np.isfinite(y).all()
+
+
+def test_05_convert_single(pipeline):
+    p = pipeline
+    src = next((p["corpus"] / "test").glob("*.wav"))
+    cli_main(
+        [
+            "convert-single",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "-result_dir", str(p["out"] / "single"),
+            "--source", str(src),
+            "--target", "V001",
+            "--gl-iters", "4",
+        ]
+    )
+    outs = list((p["out"] / "single" / "V001").glob("*.wav"))
+    assert len(outs) == 1
+    assert len(load_wav(outs[0], 16000)) > 500
+
+
+def test_06_convert_rejects_bad_target(pipeline):
+    p = pipeline
+    with pytest.raises(SystemExit, match="not in corpus"):
+        cli_main(
+            [
+                "convert",
+                "--platform", "cpu",
+                "-hps", str(p["hps"]),
+                "-dataset_path", str(p["ds"]),
+                "-ckpt_dir", str(p["ckpt"]),
+                "-result_dir", str(p["out"]),
+                "--target", "NOPE",
+            ]
+        )

@@ -1,0 +1,101 @@
+"""Mesh/pjit tests on 8 fake CPU devices (SURVEY.md §4: the standard way to
+test multi-device JAX without a pod). Validates the DP batch-sharded train
+step, full replication, and TP param-sharding rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from zerospeech_tts_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicate_state,
+)
+from zerospeech_tts_tpu.train import Solver
+
+
+def test_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(data=4, model=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m2 = make_mesh(model=2)
+    assert m2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(data=16, model=1)
+
+
+def test_dp_train_step_on_mesh(tiny_hps):
+    h = tiny_hps.replace(batch_size=8)
+    solver = Solver(h)
+    mesh = make_mesh(data=8, model=1)
+    state = replicate_state(solver.init_state(jax.random.PRNGKey(0)), mesh)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.standard_normal((8, h.seg_len, h.n_feat)).astype(np.float32),
+        "spk": rng.integers(0, h.n_speakers, 8).astype(np.int32),
+    }
+    sharded = jax.device_put(batch, batch_sharding(mesh))
+    assert len(sharded["x"].sharding.device_set) == 8
+
+    state, m = solver.step_train(state, sharded)
+    assert np.isfinite(float(m["loss_rec"]))
+    # updated params must remain fully replicated (pjit psum'd the grads)
+    leaf = jax.tree.leaves(state.enc)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device(tiny_hps):
+    """The mesh-sharded step must compute the same update as single-device."""
+    h = tiny_hps.replace(batch_size=8)
+    solver = Solver(h)
+    rng = np.random.default_rng(1)
+    batch = {
+        "x": rng.standard_normal((8, h.seg_len, h.n_feat)).astype(np.float32),
+        "spk": rng.integers(0, h.n_speakers, 8).astype(np.int32),
+    }
+    s_single = solver.init_state(jax.random.PRNGKey(0))
+    _, m_single = solver.step_pretrain_ae(s_single, dict(batch))
+
+    mesh = make_mesh(data=8, model=1)
+    s_mesh = replicate_state(solver.init_state(jax.random.PRNGKey(0)), mesh)
+    _, m_mesh = solver.step_pretrain_ae(s_mesh, jax.device_put(batch, batch_sharding(mesh)))
+
+    assert float(m_single["loss_rec"]) == pytest.approx(float(m_mesh["loss_rec"]), rel=1e-4)
+
+
+def test_param_shardings_tp_rules(tiny_hps):
+    h = tiny_hps
+    solver = Solver(h)
+    params = solver.init_state(jax.random.PRNGKey(0)).enc
+    mesh = make_mesh(data=4, model=2)
+    shardings = param_shardings(params, mesh, min_size=128)
+    leaves, specs = jax.tree.leaves(params), jax.tree.leaves(shardings)
+    n_model_sharded = 0
+    for leaf, sh in zip(leaves, specs):
+        assert isinstance(sh, NamedSharding)
+        if sh.spec != P():
+            n_model_sharded += 1
+            assert sh.spec[-1] == "model"
+            assert leaf.shape[-1] % 2 == 0
+    assert n_model_sharded > 0  # the big kernels actually got sharded
+
+
+def test_tp_sharded_apply(tiny_hps):
+    """Forward pass with TP-sharded params produces the same output."""
+    h = tiny_hps
+    solver = Solver(h)
+    params = solver.init_state(jax.random.PRNGKey(0)).enc
+    x = np.random.default_rng(0).standard_normal((4, h.seg_len, h.n_feat)).astype(np.float32)
+    ref = solver.encoder.apply(params, x)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sharded = jax.device_put(params, param_shardings(params, mesh, min_size=128))
+    out = jax.jit(solver.encoder.apply)(p_sharded, jax.device_put(x, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)

@@ -1,0 +1,294 @@
+"""L5 — CLI driver (ref main.py:~1-150; SURVEY.md §2 "CLI driver").
+
+Verbs mirror the reference's modes:
+
+    zstts preprocess      (ref --preprocess: corpus build + segment index)
+    zstts train1          (ref stage-1: pretrain_AE -> pretrain_C -> train)
+    zstts train2          (ref stage-2 patchGAN; requires stage-1 ckpt)
+    zstts convert         (ref --test: corpus conversion + unit dump)
+    zstts convert-single  (ref --test_single: one wav -> target speaker)
+
+Path flags keep the reference spellings (-hps, -dataset_path, -index_path,
+-ckpt_dir, -result_dir, --load_model). ``--platform cpu`` forces CPU (the
+axon TPU plugin ignores JAX_PLATFORMS, so this must be a config update).
+``--mesh data=4,model=2`` trains over a jax.sharding Mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+from zerospeech_tts_tpu.config import DEFAULT_HPS_PATH, load_configs
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("-hps", "--hps", default=str(DEFAULT_HPS_PATH), help="hps JSON path")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    p.add_argument("--mesh", default=None, help="e.g. data=8 or data=4,model=2")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="zstts", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("preprocess", help="build h5 corpus + segment index (ref --preprocess)")
+    _common(p)
+    p.add_argument("--corpus", required=True, help="ZeroSpeech-layout corpus dir (has train/, test/)")
+    p.add_argument("-dataset_path", "--dataset_path", required=True)
+    p.add_argument("-index_path", "--index_path", required=True)
+    p.add_argument("--n-samples", type=int, default=500_000, help="segment index size")
+    p.add_argument("--no-trim", action="store_true")
+
+    for stage in ("train1", "train2"):
+        p = sub.add_parser(stage)
+        _common(p)
+        p.add_argument("-dataset_path", "--dataset_path", required=True)
+        p.add_argument("-index_path", "--index_path", required=True)
+        p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+        p.add_argument("--log_dir", default=None)
+        p.add_argument("--load_model", action="store_true", help="resume from latest ckpt")
+        p.add_argument("--iters-override", type=int, default=None, help="shrink all phases (smoke)")
+        p.add_argument("--feat", default="lin", choices=["lin", "mel"])
+        p.add_argument("--targets", nargs="*", default=None, help="stage-2 target speakers")
+
+    p = sub.add_parser("convert", help="corpus conversion + unit extraction (ref --test)")
+    _common(p)
+    p.add_argument("-dataset_path", "--dataset_path", required=True)
+    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("-result_dir", "--result_dir", required=True)
+    p.add_argument("--target", nargs="*", default=None, help="target speakers (default: V*)")
+    p.add_argument("--split", default="test")
+    p.add_argument("--gl-iters", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--limit", type=int, default=None)
+
+    p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
+    _common(p)
+    p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (for speaker map)")
+    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("-result_dir", "--result_dir", required=True)
+    p.add_argument("--source", required=True, help="source wav path")
+    p.add_argument("--target", required=True, help="target speaker name")
+    p.add_argument("--gl-iters", type=int, default=None)
+
+    return ap
+
+
+def _setup_platform(args):
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform in ("tpu", "axon"):
+        pass  # default env platform
+    return jax
+
+
+def _mesh_from_arg(spec: str | None):
+    if not spec:
+        return None
+    from zerospeech_tts_tpu.parallel import make_mesh
+
+    axes = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        axes[k.strip()] = int(v)
+    return make_mesh(**axes)
+
+
+def _restore(solver, ckpt, mesh=None):
+    import jax
+
+    from zerospeech_tts_tpu.parallel import replicate_state
+
+    template = solver.init_state(jax.random.PRNGKey(solver.hps.seed))
+    if mesh is not None:
+        template = replicate_state(template, mesh)
+    return ckpt.restore(template)
+
+
+def cmd_preprocess(args):
+    _setup_platform(args)
+    from zerospeech_tts_tpu.data import build_corpus, make_segment_index
+
+    hps, acfg = load_configs(args.hps)
+    t0 = time.time()
+    n = [0]
+
+    def progress(split, path):
+        n[0] += 1
+        if n[0] % 200 == 0:
+            print(f"  [{time.time() - t0:7.1f}s] {n[0]} utterances ({split})", flush=True)
+
+    manifest = build_corpus(
+        args.corpus, args.dataset_path, acfg, trim=not args.no_trim, progress=progress
+    )
+    print(f"corpus: {manifest['counts']} speakers={len(manifest['speakers'])}")
+    entries = make_segment_index(
+        args.dataset_path, args.index_path, hps.seg_len, args.n_samples, seed=hps.seed
+    )
+    print(f"index: {len(entries)} segments -> {args.index_path}")
+    print(f"preprocess done in {time.time() - t0:.1f}s")
+
+
+def _make_training(args):
+    import jax
+
+    from zerospeech_tts_tpu.data import SegmentLoader
+    from zerospeech_tts_tpu.train import CheckpointManager, Logger, Solver
+
+    hps, acfg = load_configs(args.hps)
+    mesh = _mesh_from_arg(args.mesh)
+    sharding = None
+    if mesh is not None:
+        from zerospeech_tts_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    solver = Solver(hps)
+    loader = SegmentLoader(
+        args.dataset_path,
+        args.index_path,
+        hps,
+        feat=args.feat,
+        target_speakers=args.targets,
+        sharding=sharding,
+        seed=hps.seed,
+    )
+    ckpt = CheckpointManager(args.ckpt_dir)
+    logger = Logger(args.log_dir or (Path(args.ckpt_dir) / "logs"))
+    return jax, hps, mesh, solver, loader, ckpt, logger
+
+
+def cmd_train1(args):
+    _setup_platform(args)
+    jax, hps, mesh, solver, loader, ckpt, logger = _make_training(args)
+    ov = args.iters_override
+    phases = [
+        ("pretrain_AE", ov or hps.enc_pretrain_iters),
+        ("pretrain_C", ov or hps.dis_pretrain_iters),
+        ("train", ov or hps.iters),
+    ]
+    if args.load_model and ckpt.latest_step() is not None:
+        state = _restore(solver, ckpt, mesh)
+        print(f"resumed from step {int(state.step)}")
+    else:
+        state = solver.init_state(jax.random.PRNGKey(hps.seed))
+        if mesh is not None:
+            from zerospeech_tts_tpu.parallel import replicate_state
+
+            state = replicate_state(state, mesh)
+    with loader:
+        it = iter(loader)
+        for mode, iters in phases:
+            print(f"== stage-1 phase {mode}: {iters} iters")
+            state = solver.train(state, it, mode, iters, logger=logger, ckpt=ckpt)
+    ckpt.save(state, wait=True)
+    ckpt.close()
+    logger.close()
+    print(f"stage-1 done at step {int(state.step)}; ckpt -> {args.ckpt_dir}")
+
+
+def cmd_train2(args):
+    _setup_platform(args)
+    jax, hps, mesh, solver, loader, ckpt, logger = _make_training(args)
+    if ckpt.latest_step() is None:
+        sys.exit("train2 requires a stage-1 checkpoint (ref: stage 2 starts from stage-1 weights)")
+    state = _restore(solver, ckpt, mesh)
+    print(f"stage-2 from step {int(state.step)}")
+    iters = args.iters_override or hps.patch_iters
+    with loader:
+        state = solver.train(state, iter(loader), "patchGAN", iters, logger=logger, ckpt=ckpt)
+    ckpt.save(state, wait=True)
+    ckpt.close()
+    logger.close()
+    print(f"stage-2 done at step {int(state.step)}")
+
+
+def _load_converter(args, hps, acfg):
+    import jax
+
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.train import CheckpointManager, Solver
+
+    solver = Solver(hps)
+    ckpt = CheckpointManager(args.ckpt_dir)
+    state = _restore(solver, ckpt)
+    ckpt.close()
+    return Converter(
+        hps,
+        acfg,
+        state.enc,
+        state.dec,
+        gl_iters=getattr(args, "gl_iters", None),
+        batch_size=getattr(args, "batch_size", 8),
+    )
+
+
+def _speaker_map(dataset_path):
+    from zerospeech_tts_tpu.data.corpus import load_speaker_map
+
+    return load_speaker_map(dataset_path)
+
+
+def cmd_convert(args):
+    _setup_platform(args)
+    from zerospeech_tts_tpu.convert import convert_corpus
+
+    hps, acfg = load_configs(args.hps)
+    speakers = _speaker_map(args.dataset_path)
+    targets = args.target or sorted(s for s in speakers if s.startswith("V"))
+    if not targets:
+        sys.exit("no target speakers given and none named V* in the corpus")
+    missing = [t for t in targets if t not in speakers]
+    if missing:
+        sys.exit(f"target speakers {missing} not in corpus speaker map")
+    conv = _load_converter(args, hps, acfg)
+    t0 = time.time()
+    out = convert_corpus(
+        conv,
+        args.dataset_path,
+        args.result_dir,
+        {t: speakers[t] for t in targets},
+        split=args.split,
+        sr=acfg.sr,
+        limit=args.limit,
+    )
+    dt = time.time() - t0
+    print(
+        f"converted {out['n_utterances']} utterances x {len(targets)} targets "
+        f"in {dt:.1f}s ({out['n_wavs'] / dt:.2f} wav/s) -> {out['result_dir']}"
+    )
+
+
+def cmd_convert_single(args):
+    _setup_platform(args)
+    from zerospeech_tts_tpu.convert import convert_single
+
+    hps, acfg = load_configs(args.hps)
+    speakers = _speaker_map(args.dataset_path)
+    if args.target not in speakers:
+        sys.exit(f"target {args.target!r} not in corpus speaker map {sorted(speakers)[:10]}...")
+    conv = _load_converter(args, hps, acfg)
+    out = convert_single(
+        conv, args.source, args.target, speakers[args.target], args.result_dir, sr=acfg.sr
+    )
+    print(json.dumps(out))
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    {
+        "preprocess": cmd_preprocess,
+        "train1": cmd_train1,
+        "train2": cmd_train2,
+        "convert": cmd_convert,
+        "convert-single": cmd_convert_single,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""L5 — converter / discrete-unit dumper (ref convert.py:~1-200 + test paths
+in solver.py; SURVEY.md §3.4/3.5).
+
+The conversion stack — encode -> MBV-binarize -> decode(target speaker) ->
+denormalize -> Griffin-Lim -> wav — is ONE jitted XLA program per padded
+length bucket (the BASELINE.json north-star "one XLA program"), vmapped
+over a fixed batch of utterances. Units are the deterministic hard MBV
+bits, written one frame per line as space-separated 0/1 ints (the
+challenge bitrate artifact); wavs are 16 kHz PCM16 in the submission
+layout ``<result>/<target_speaker>/<utt>.wav``.
+
+In the reference this stack is CPU-Griffin-Lim-dominated (SURVEY.md §3.4);
+here the whole thing runs on-device and batches across the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zerospeech_tts_tpu.config import AudioConfig, Hps
+from zerospeech_tts_tpu.dsp import audio as dsp_audio
+from zerospeech_tts_tpu.dsp.wavio import load_wav, save_wav, trim_silence
+from zerospeech_tts_tpu.models import Decoder, Encoder, hard_units
+
+
+def write_units(path: str | Path, units: np.ndarray) -> None:
+    """Unit text file: one latent frame per line, bits space-separated."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for row in units:
+            f.write(" ".join(str(int(v)) for v in row) + "\n")
+
+
+def read_units(path: str | Path) -> np.ndarray:
+    return np.loadtxt(path, dtype=np.int32, ndmin=2)
+
+
+class Converter:
+    """Checkpointed encoder+decoder -> conversion programs, cached per
+    (n_frames, batch) bucket shape."""
+
+    def __init__(
+        self,
+        hps: Hps,
+        acfg: AudioConfig,
+        enc_params,
+        dec_params,
+        gl_iters: int | None = None,
+        stft_method: str = "fft",
+        batch_size: int = 8,
+        bucket_frames: int = 64,
+    ):
+        assert bucket_frames % hps.downsample == 0
+        self.hps = hps
+        self.acfg = acfg
+        self.enc_params = enc_params
+        self.dec_params = dec_params
+        self.gl_iters = gl_iters if gl_iters is not None else acfg.gl_iters
+        self.stft_method = stft_method
+        self.batch_size = batch_size
+        self.bucket_frames = bucket_frames
+        self.encoder = Encoder(hps)
+        self.decoder = Decoder(hps)
+
+    # ------------------------------------------------------------ programs
+
+    @functools.lru_cache(maxsize=32)
+    def _program(self, n_frames: int):
+        """One XLA program: [B, T, F] padded lin features + target speaker
+        -> (units [B, T//ds, emb], wavs [B, (T-1)*hop])."""
+        hps, acfg = self.hps, self.acfg
+
+        def run(enc_params, dec_params, x, spk):
+            logits = self.encoder.apply(enc_params, x)
+            units = hard_units(logits)
+            z = units.astype(jnp.float32)
+            xh = self.decoder.apply(dec_params, z, spk)
+            xh = jnp.clip(xh, 0.0, 1.0)
+            wav = jax.vmap(
+                lambda m: dsp_audio.spectrogram2wav(
+                    m, acfg, n_iters=self.gl_iters, method=self.stft_method
+                )
+            )(xh)
+            return units, wav
+
+        return jax.jit(run)
+
+    def encode_program(self, n_frames: int):
+        """Units-only program (ref enc_only switch: dump units w/o synthesis)."""
+
+        def run(enc_params, x):
+            return hard_units(self.encoder.apply(enc_params, x))
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------- helpers
+
+    def _pad_frames(self, feats: np.ndarray) -> np.ndarray:
+        t = feats.shape[0]
+        tb = -(-t // self.bucket_frames) * self.bucket_frames
+        if tb > t:
+            feats = np.pad(feats, ((0, tb - t), (0, 0)))
+        return feats
+
+    def convert_features(self, feats_list: list[np.ndarray], spk_id: int):
+        """Convert a list of [T_i, n_feat] lin features to
+        [(units_i, wav_i)] for one target speaker. Buckets by padded length,
+        fixed batch size per program (last chunk padded with dummies)."""
+        order = np.argsort([-(f.shape[0]) for f in feats_list], kind="stable")
+        results: list = [None] * len(feats_list)
+
+        buckets: dict[int, list[int]] = {}
+        for i in order:
+            tb = -(-feats_list[i].shape[0] // self.bucket_frames) * self.bucket_frames
+            buckets.setdefault(tb, []).append(int(i))
+
+        ds, hop = self.hps.downsample, self.acfg.hop_length
+        for tb, idxs in buckets.items():
+            prog = self._program(tb)
+            for c0 in range(0, len(idxs), self.batch_size):
+                chunk = idxs[c0 : c0 + self.batch_size]
+                xs = [self._pad_frames(feats_list[i]) for i in chunk]
+                while len(xs) < self.batch_size:  # pad batch with dummies
+                    xs.append(np.zeros_like(xs[0]))
+                x = jnp.asarray(np.stack(xs))
+                spk = jnp.full((self.batch_size,), spk_id, jnp.int32)
+                units, wavs = prog(self.enc_params, self.dec_params, x, spk)
+                units, wavs = np.asarray(units), np.asarray(wavs)
+                for j, i in enumerate(chunk):
+                    t_true = feats_list[i].shape[0]
+                    results[i] = (
+                        units[j][: t_true // ds],
+                        wavs[j][: max((t_true - 1), 1) * hop],
+                    )
+        return results
+
+    def convert_wav(self, wav: np.ndarray, spk_id: int, trim: bool = True):
+        """Single-utterance VC (ref --test_single, SURVEY.md §3.5)."""
+        if trim:
+            wav = trim_silence(wav, self.acfg.top_db)
+        _, lin = dsp_audio.get_spectrograms(wav, self.acfg, bucket_frames=self.bucket_frames)
+        (res,) = self.convert_features([lin], spk_id)
+        return res
+
+
+def convert_corpus(
+    converter: Converter,
+    dataset_path: str | Path,
+    result_dir: str | Path,
+    target_speakers: dict[str, int],
+    split: str = "test",
+    sr: int = 16000,
+    limit: int | None = None,
+    progress=None,
+) -> dict:
+    """Corpus-wide conversion + unit extraction (ref --test, SURVEY.md §3.4).
+
+    Reads precomputed lin features from the h5 corpus, writes
+    ``<result>/units/<utt>.txt`` once per utterance and
+    ``<result>/<target>/<utt>.wav`` per target speaker.
+    """
+    result_dir = Path(result_dir)
+    feats, names = [], []
+    with h5py.File(dataset_path, "r") as f:
+        if split not in f:
+            raise ValueError(f"split {split!r} not in {dataset_path}")
+        for spk in f[split]:
+            for utt in f[split][spk]:
+                feats.append(f[f"{split}/{spk}/{utt}/lin"][:])
+                names.append(utt)
+                if limit and len(names) >= limit:
+                    break
+            if limit and len(names) >= limit:
+                break
+
+    n_wav = 0
+    units_written = False
+    for tgt_name, tgt_id in target_speakers.items():
+        results = converter.convert_features(feats, tgt_id)
+        for utt, (units, wav) in zip(names, results):
+            if not units_written:
+                write_units(result_dir / "units" / f"{utt}.txt", units)
+            save_wav(result_dir / tgt_name / f"{utt}.wav", wav, sr)
+            n_wav += 1
+            if progress:
+                progress(tgt_name, utt)
+        units_written = True  # units are target-independent
+    return {"n_utterances": len(names), "n_wavs": n_wav, "result_dir": str(result_dir)}
+
+
+def convert_single(
+    converter: Converter,
+    wav_path: str | Path,
+    target: str,
+    target_id: int,
+    result_dir: str | Path,
+    sr: int | None = None,
+) -> dict:
+    """Single (source wav, target speaker) demo path (ref --test_single)."""
+    sr = sr or converter.acfg.sr
+    y = load_wav(wav_path, sr)
+    units, wav = converter.convert_wav(y, target_id)
+    result_dir = Path(result_dir)
+    stem = Path(wav_path).stem
+    write_units(result_dir / "units" / f"{stem}.txt", units)
+    out = result_dir / target / f"{stem}.wav"
+    save_wav(out, wav, sr)
+    return {"units": str(result_dir / "units" / f"{stem}.txt"), "wav": str(out)}

@@ -1,0 +1,146 @@
+"""Host data loader (ref dataloader.py:~1-150, SURVEY.md §2 "Data loader").
+
+h5-backed segment dataset yielding ``[B, seg_len, n_feat]`` float batches +
+speaker ids, with the reference's same-utterance segment pairs (``x2``) and
+the stage-2 extras (``x_real``/``spk_real`` drawn from the target-voice
+speakers). Utterance feature arrays are cached in RAM (LRU) so steady-state
+batch assembly is pure numpy gathers; a background prefetch thread keeps
+one batch ahead of the device.
+
+When a ``sharding`` is supplied, batches are device_put with that
+NamedSharding so the jitted train step consumes them without host sync —
+that placement (batch axis over the 'data' mesh axis) is the DP story
+(SURVEY.md §2 parallelism row).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from pathlib import Path
+
+import h5py
+import jax
+import numpy as np
+
+from zerospeech_tts_tpu.config import Hps
+
+
+class SegmentLoader:
+    def __init__(
+        self,
+        h5_path: str | Path,
+        index_path: str | Path,
+        hps: Hps,
+        feat: str = "lin",
+        split: str = "train",
+        target_speakers: list[str] | None = None,
+        sharding=None,
+        seed: int = 0,
+        cache_size: int = 1024,
+        prefetch: int = 2,
+    ):
+        self.h5_path = str(h5_path)
+        self.hps = hps
+        self.feat = feat
+        self.split = split
+        self.sharding = sharding
+        self.rng = np.random.default_rng(seed)
+        self.entries = json.loads(Path(index_path).read_text())
+        if not self.entries:
+            raise ValueError(f"empty segment index {index_path}")
+        self._f = h5py.File(self.h5_path, "r")
+        self.speakers: dict[str, int] = json.loads(self._f.attrs["speakers"])
+        self._cache: dict[tuple[str, str], np.ndarray] = {}
+        self._cache_size = cache_size
+
+        tgt = set(target_speakers or [])
+        self._real_entries = [e for e in self.entries if e["speaker"] in tgt] or self.entries
+
+        self._q: queue.Queue | None = None
+        self._prefetch = prefetch
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- access
+
+    def _utt(self, spk: str, utt: str) -> np.ndarray:
+        key = (spk, utt)
+        arr = self._cache.get(key)
+        if arr is None:
+            arr = self._f[f"{self.split}/{spk}/{utt}/{self.feat}"][:]
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = arr
+        return arr
+
+    def _segment(self, e: dict, t_key: str = "t0") -> np.ndarray:
+        arr = self._utt(e["speaker"], e["utt"])
+        t0 = e[t_key]
+        return arr[t0 : t0 + self.hps.seg_len]
+
+    def _assemble(self) -> dict:
+        h = self.hps
+        idx = self.rng.integers(0, len(self.entries), h.batch_size)
+        x = np.stack([self._segment(self.entries[i]) for i in idx])
+        x2 = np.stack([self._segment(self.entries[i], "t1") for i in idx])
+        spk = np.array([self.speakers[self.entries[i]["speaker"]] for i in idx], np.int32)
+
+        ridx = self.rng.integers(0, len(self._real_entries), h.batch_size)
+        x_real = np.stack([self._segment(self._real_entries[i]) for i in ridx])
+        spk_real = np.array(
+            [self.speakers[self._real_entries[i]["speaker"]] for i in ridx], np.int32
+        )
+        batch = {
+            "x": x.astype(np.float32),
+            "x2": x2.astype(np.float32),
+            "spk": spk,
+            "x_real": x_real.astype(np.float32),
+            "spk_real": spk_real,
+        }
+        if self.sharding is not None:
+            batch = jax.device_put(batch, self.sharding)
+        return batch
+
+    # ----------------------------------------------------------- iteration
+
+    def _worker(self):
+        while not self._stop.is_set():
+            b = self._assemble()
+            while not self._stop.is_set():
+                try:
+                    self._q.put(b, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        if self._prefetch > 0 and self._thread is None:
+            self._q = queue.Queue(maxsize=self._prefetch)
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def __next__(self) -> dict:
+        if self._thread is not None:
+            return self._q.get()
+        return self._assemble()
+
+    def close(self):
+        self._stop.set()
+        if self._thread is not None:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,79 @@
+"""Device mesh + sharding layout.
+
+The communication story is exactly the XLA-collective one (SURVEY.md §5
+"Distributed communication backend"): batches carry a
+``NamedSharding(mesh, P('data', ...))``, parameters are either replicated
+or sharded on a ``model`` axis, and pjit/XLA insert the psum/all-gather
+collectives over ICI. No hand-written comm layer exists or is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. data=None -> use all devices / model."""
+    devices = devices if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // model
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"mesh data={data} x model={model} needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; everything else replicated.
+    Applies to every leaf of a batch dict regardless of rank."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for(path: str, leaf, model_size: int, min_size: int = 1 << 14) -> P:
+    """TP heuristic: shard the last axis of large matmul/embedding kernels
+    over 'model' (conv kernels [K, Cin, Cout], dense kernels [In, Out],
+    embeddings [V, E] all shard their output axis); small leaves replicate."""
+    if model_size <= 1 or leaf.ndim < 2 or leaf.size < min_size:
+        return P()
+    if leaf.shape[-1] % model_size != 0:
+        return P()
+    return P(*([None] * (leaf.ndim - 1) + ["model"]))
+
+
+def param_shardings(params, mesh: Mesh, min_size: int = 1 << 14):
+    """A pytree of NamedShardings for a parameter pytree (TP on 'model');
+    leaves smaller than min_size elements stay replicated."""
+    model_size = mesh.shape["model"]
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, _spec_for(jax.tree_util.keystr(path), leaf, model_size, min_size))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState: params + opt states TP-sharded per
+    param_shardings, scalars/rng replicated. Opt states mirror param shapes
+    (Adam mu/nu), so the same rule tree applies leaf-wise by shape."""
+    model_size = mesh.shape["model"]
+
+    def place(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            spec = _spec_for("", leaf, model_size)
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, state)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Fully replicate a TrainState over the mesh (pure-DP layout)."""
+    return jax.device_put(state, replicated(mesh))
