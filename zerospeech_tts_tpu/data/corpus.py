@@ -35,7 +35,7 @@ import numpy as np
 
 from zerospeech_tts_tpu.config import AudioConfig
 from zerospeech_tts_tpu.dsp import audio as dsp_audio
-from zerospeech_tts_tpu.dsp.wavio import load_wav, trim_silence
+from zerospeech_tts_tpu.data import native as native_io
 
 _SPK_RE = re.compile(r"^([A-Za-z]+\d+)[_-]")
 
@@ -114,9 +114,8 @@ def build_corpus(
             for path in found.get(split, []):
                 spk = speaker_of(path)
                 speakers.setdefault(spk, len(speakers))
-                y = load_wav(path, cfg.sr)
-                if trim:
-                    y = trim_silence(y, cfg.top_db)
+                # native C++ decode+trim fast path, scipy fallback
+                y = native_io.load_and_trim(path, cfg.sr, cfg.top_db if trim else None)
                 if len(y) < cfg.hop_length:
                     continue
                 mel, lin = dsp_audio.get_spectrograms(y, cfg, bucket_frames=bucket_frames)

@@ -94,9 +94,90 @@ def _idft_basis(cfg: AudioConfig) -> tuple[np.ndarray, np.ndarray]:
     return (np.cos(ang) * scale).astype(np.float32), (-np.sin(ang) * scale).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _fused_bases(cfg: AudioConfig):
+    """Window-folded real-DFT bases over the window support only.
+
+    With win_length % hop == 0 the STFT needs just the win_length samples
+    under the window: analysis basis = win * DFT rows restricted to the
+    support; synthesis basis = inverse-DFT columns restricted to the
+    support, pre-multiplied by the synthesis window. Everything else in the
+    padded n_fft frame is zero, so the full transform becomes
+    [T, win] x [win, n_freq] MXU matmuls with NO gathers or scatters.
+    """
+    assert cfg.win_length % cfg.hop_length == 0
+    lpad = (cfg.n_fft - cfg.win_length) // 2
+    sl = slice(lpad, lpad + cfg.win_length)
+    win = _window(cfg).astype(np.float64)[sl]
+    c, s = _dft_basis(cfg)
+    ca = (win[:, None] * c[sl].astype(np.float64)).astype(np.float32)  # [win, n_freq]
+    sa = (win[:, None] * s[sl].astype(np.float64)).astype(np.float32)
+    ci, si = _idft_basis(cfg)
+    cs = (ci.astype(np.float64)[:, sl] * win[None, :]).astype(np.float32)  # [n_freq, win]
+    ss = (si.astype(np.float64)[:, sl] * win[None, :]).astype(np.float32)
+    return ca, sa, cs, ss
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_wss(cfg: AudioConfig, t: int) -> np.ndarray:
+    """Window-square OLA envelope over the fused output span (constant)."""
+    win = _window(cfg).astype(np.float64)
+    lpad = (cfg.n_fft - cfg.win_length) // 2
+    w2 = (win[lpad : lpad + cfg.win_length]) ** 2
+    r = cfg.win_length // cfg.hop_length
+    out_len = (t - 1 + r) * cfg.hop_length
+    wss = np.zeros(out_len)
+    idx = np.arange(t)[:, None] * cfg.hop_length + np.arange(cfg.win_length)[None, :]
+    np.add.at(wss, idx, w2[None, :])
+    wss = np.where(wss > 1e-11, wss, 1.0)
+    return wss.astype(np.float32)
+
+
+def _fused_segments(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """[n] signal -> [T, win_length] windowed-support segments using only
+    static reshapes/slices (r = win/hop row-shifted views)."""
+    n = y.shape[-1]
+    t = n_frames_for(n, cfg)
+    pad = cfg.n_fft // 2
+    lpad = (cfg.n_fft - cfg.win_length) // 2
+    ypad = jnp.pad(y, (pad, pad), mode="reflect")
+    ys = ypad[lpad:]
+    r = cfg.win_length // cfg.hop_length
+    rows_needed = (t - 1 + r) * cfg.hop_length
+    if ys.shape[-1] < rows_needed:
+        ys = jnp.pad(ys, (0, rows_needed - ys.shape[-1]))
+    rows = ys[:rows_needed].reshape(t - 1 + r, cfg.hop_length)
+    return jnp.concatenate([rows[k : k + t] for k in range(r)], axis=1)
+
+
+def _fused_ola(frames: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """[T, win_length] synthesis-windowed frames -> signal via r static
+    shifted adds (the scatter-free overlap-add)."""
+    t = frames.shape[0]
+    r = cfg.win_length // cfg.hop_length
+    hop = cfg.hop_length
+    acc = jnp.zeros((t - 1 + r, hop), frames.dtype)
+    for k in range(r):
+        acc = acc.at[k : k + t].add(frames[:, k * hop : (k + 1) * hop])
+    y = acc.reshape(-1)
+    y = y / jnp.asarray(_fused_wss(cfg, t))
+    # trim back to the librosa istft span: remove the centering pad relative
+    # to the window support start (n_fft//2 - lpad) and cut to (t-1)*hop
+    lead = cfg.n_fft // 2 - (cfg.n_fft - cfg.win_length) // 2
+    return y[lead : lead + (t - 1) * hop]
+
+
 def n_frames_for(n_samples: int, cfg: AudioConfig) -> int:
     """librosa center=True frame count: 1 + n_samples // hop."""
     return 1 + n_samples // cfg.hop_length
+
+
+def resolve_method(cfg: AudioConfig, method: str | None) -> str:
+    """None -> pick the fastest valid backend: the gather/scatter-free
+    window-folded matmul path when win_length % hop == 0, else FFT."""
+    if method is not None:
+        return method
+    return "fused" if cfg.win_length % cfg.hop_length == 0 else "fft"
 
 
 def pad_to_bucket(y: np.ndarray, cfg: AudioConfig, bucket_frames: int = 64) -> np.ndarray:
@@ -151,7 +232,18 @@ def frame_signal(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
 
 
 def stft(y: jnp.ndarray, cfg: AudioConfig, method: str = "fft") -> tuple[jnp.ndarray, jnp.ndarray]:
-    """STFT -> (re, im), each [n_frames, n_freq] (time-major)."""
+    """STFT -> (re, im), each [n_frames, n_freq] (time-major).
+
+    Methods: ``fft`` (XLA rfft), ``matmul`` (real-DFT basis matmul), and
+    ``fused`` (window-folded basis + static-slice framing: gather/scatter-
+    free, the MXU speed-of-light path; requires win_length % hop == 0).
+    """
+    if method == "fused":
+        ca, sa, _, _ = _fused_bases(cfg)
+        segs = _fused_segments(y, cfg)
+        re = jnp.dot(segs, jnp.asarray(ca), preferred_element_type=jnp.float32)
+        im = jnp.dot(segs, jnp.asarray(sa), preferred_element_type=jnp.float32)
+        return re, im
     frames = frame_signal(y, cfg) * jnp.asarray(_window(cfg))
     if method == "fft":
         spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
@@ -168,6 +260,12 @@ def istft(re: jnp.ndarray, im: jnp.ndarray, cfg: AudioConfig, method: str = "fft
     """Inverse STFT with window-sum normalization; trims the center padding.
     Output length = (n_frames - 1) * hop."""
     t = re.shape[0]
+    if method == "fused":
+        _, _, cs, ss = _fused_bases(cfg)
+        frames = jnp.dot(re, jnp.asarray(cs), preferred_element_type=jnp.float32) + jnp.dot(
+            im, jnp.asarray(ss), preferred_element_type=jnp.float32
+        )
+        return _fused_ola(frames, cfg)
     if method == "fft":
         frames = jnp.fft.irfft(re + 1j * im, n=cfg.n_fft, axis=-1).astype(jnp.float32)
     elif method == "matmul":
@@ -212,10 +310,11 @@ def db_norm_to_amp(x: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method"))
-def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str = "fft"):
+def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str | None = None):
     """Jitted frontend: preemphasized wav -> (mel[T, n_mels], mag[T, n_freq]),
     both dB-normalized to [0, 1]. One XLA program; the mel projection is an
     MXU matmul."""
+    method = resolve_method(cfg, method)
     yp = preemphasis(y, cfg.preemphasis)
     re, im = stft(yp, cfg, method=method)
     mag = jnp.sqrt(re * re + im * im + 1e-12)
@@ -223,7 +322,7 @@ def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str = "fft"):
     return amp_to_db_norm(mel, cfg), amp_to_db_norm(mag, cfg)
 
 
-def get_spectrograms(y: np.ndarray, cfg: AudioConfig, bucket_frames: int = 64, method: str = "fft"):
+def get_spectrograms(y: np.ndarray, cfg: AudioConfig, bucket_frames: int = 64, method: str | None = None):
     """Host entry point matching the reference ``get_spectrograms`` contract
     (ref preprocess.py:~20-80): trimmed float wav -> (mel[T,80], mag[T,513])
     as numpy. Pads to a frame bucket to bound jit recompiles, then slices
@@ -241,7 +340,7 @@ def get_spectrograms(y: np.ndarray, cfg: AudioConfig, bucket_frames: int = 64, m
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "method"))
 def griffin_lim(
-    mag: jnp.ndarray, cfg: AudioConfig, n_iters: int | None = None, method: str = "fft"
+    mag: jnp.ndarray, cfg: AudioConfig, n_iters: int | None = None, method: str | None = None
 ) -> jnp.ndarray:
     """Griffin-Lim phase reconstruction (ref utils.py griffin_lim).
 
@@ -255,6 +354,7 @@ def griffin_lim(
     same iteration count (the reference runs plain GL; set gl_momentum=0
     for that behavior).
     """
+    method = resolve_method(cfg, method)
     n_iters = cfg.gl_iters if n_iters is None else n_iters
     alpha = cfg.gl_momentum
 
@@ -280,7 +380,7 @@ def griffin_lim(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "method"))
 def spectrogram2wav(
-    mag_norm: jnp.ndarray, cfg: AudioConfig, n_iters: int | None = None, method: str = "fft"
+    mag_norm: jnp.ndarray, cfg: AudioConfig, n_iters: int | None = None, method: str | None = None
 ) -> jnp.ndarray:
     """Normalized linear spectrogram [T, n_freq] -> wav (ref utils.py
     spectrogram2wav): denormalize -> amp -> **power -> Griffin-Lim ->
@@ -292,7 +392,7 @@ def spectrogram2wav(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "method"))
 def melspectrogram2wav(
-    mel_norm: jnp.ndarray, cfg: AudioConfig, n_iters: int | None = None, method: str = "fft"
+    mel_norm: jnp.ndarray, cfg: AudioConfig, n_iters: int | None = None, method: str | None = None
 ) -> jnp.ndarray:
     """Normalized mel spectrogram [T, n_mels] -> wav via pinv(mel_basis)
     lift to linear frequency, then the spectrogram2wav path (ref utils.py

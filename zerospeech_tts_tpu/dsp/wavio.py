@@ -42,13 +42,18 @@ def load_wav(path: str | Path, sr: int) -> np.ndarray:
 
 
 def save_wav(path: str | Path, y: np.ndarray, sr: int) -> None:
-    """Write float wav as PCM16 (challenge submission format is 16 kHz wav)."""
-    y = np.asarray(y, dtype=np.float32)
-    peak = np.max(np.abs(y)) if y.size else 0.0
-    if peak > 1.0:
-        y = y / peak
+    """Write a wav as PCM16 (challenge submission format is 16 kHz wav).
+    Accepts float in [-1, 1] or already-quantized int16 (the converter
+    quantizes on-device to halve the transfer)."""
+    y = np.asarray(y)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    scipy.io.wavfile.write(str(path), sr, (y * 32767.0).astype(np.int16))
+    if y.dtype != np.int16:
+        y = y.astype(np.float32)
+        peak = np.max(np.abs(y)) if y.size else 0.0
+        if peak > 1.0:
+            y = y / peak
+        y = (y * 32767.0).astype(np.int16)
+    scipy.io.wavfile.write(str(path), sr, y)
 
 
 def _frame_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
