@@ -29,6 +29,10 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("-hps", "--hps", default=str(DEFAULT_HPS_PATH), help="hps JSON path")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--mesh", default=None, help="e.g. data=8 or data=4,model=2")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR (SURVEY.md §5 tracing)")
+    p.add_argument("--check-numerics", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -85,7 +89,30 @@ def _setup_platform(args):
         jax.config.update("jax_platforms", "cpu")
     elif args.platform in ("tpu", "axon"):
         pass  # default env platform
+    if getattr(args, "check_numerics", False):
+        jax.config.update("jax_debug_nans", True)
     return jax
+
+
+class _MaybeProfile:
+    """jax.profiler trace context when --profile is given (no-op otherwise)."""
+
+    def __init__(self, args):
+        self.dir = getattr(args, "profile", None)
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace -> {self.dir}")
 
 
 def _mesh_from_arg(spec: str | None):
@@ -181,7 +208,7 @@ def cmd_train1(args):
             from zerospeech_tts_tpu.parallel import replicate_state
 
             state = replicate_state(state, mesh)
-    with loader:
+    with loader, _MaybeProfile(args):
         it = iter(loader)
         for mode, iters in phases:
             print(f"== stage-1 phase {mode}: {iters} iters")
@@ -200,7 +227,7 @@ def cmd_train2(args):
     state = _restore(solver, ckpt, mesh)
     print(f"stage-2 from step {int(state.step)}")
     iters = args.iters_override or hps.patch_iters
-    with loader:
+    with loader, _MaybeProfile(args):
         state = solver.train(state, iter(loader), "patchGAN", iters, logger=logger, ckpt=ckpt)
     ckpt.save(state, wait=True)
     ckpt.close()
@@ -218,6 +245,11 @@ def _load_converter(args, hps, acfg):
     ckpt = CheckpointManager(args.ckpt_dir)
     state = _restore(solver, ckpt)
     ckpt.close()
+    stats = None
+    if hps.speaker_norm:
+        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+        stats = SpeakerStats.load(args.dataset_path, "lin")
     return Converter(
         hps,
         acfg,
@@ -225,6 +257,7 @@ def _load_converter(args, hps, acfg):
         state.dec,
         gl_iters=getattr(args, "gl_iters", None),
         batch_size=getattr(args, "batch_size", 8),
+        stats=stats,
     )
 
 
@@ -248,15 +281,16 @@ def cmd_convert(args):
         sys.exit(f"target speakers {missing} not in corpus speaker map")
     conv = _load_converter(args, hps, acfg)
     t0 = time.time()
-    out = convert_corpus(
-        conv,
-        args.dataset_path,
-        args.result_dir,
-        {t: speakers[t] for t in targets},
-        split=args.split,
-        sr=acfg.sr,
-        limit=args.limit,
-    )
+    with _MaybeProfile(args):
+        out = convert_corpus(
+            conv,
+            args.dataset_path,
+            args.result_dir,
+            {t: speakers[t] for t in targets},
+            split=args.split,
+            sr=acfg.sr,
+            limit=args.limit,
+        )
     dt = time.time() - t0
     print(
         f"converted {out['n_utterances']} utterances x {len(targets)} targets "

@@ -21,6 +21,7 @@ from typing import Any, Mapping
 
 def _load_into(cls, data: Mapping[str, Any], path: str | Path | None = None):
     known = {f.name for f in dataclasses.fields(cls)}
+    data = {k: v for k, v in data.items() if not k.startswith("_")}  # _comment etc.
     unknown = set(data) - known
     if unknown:
         raise ValueError(
@@ -95,6 +96,10 @@ class Hps:
     ns: float = 0.01               # leaky-relu negative slope
     enc_dp: float = 0.1            # encoder dropout
     dis_dp: float = 0.5            # classifier/discriminator dropout
+
+    # per-speaker feature z-normalization on top of dB norm (SURVEY.md §2;
+    # applied by the loader, inverted with target stats at conversion)
+    speaker_norm: bool = False
 
     # discretization (ref model.py gumbel_softmax + enc-mode switch)
     enc_mode: str = "binary"       # binary (MBV) | one_hot | continues

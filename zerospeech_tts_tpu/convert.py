@@ -56,6 +56,7 @@ class Converter:
         stft_method: str | None = None,  # None -> fastest valid (fused matmul)
         batch_size: int = 8,
         bucket_frames: int = 64,
+        stats=None,  # SpeakerStats when hps.speaker_norm (z-norm in/out)
     ):
         assert bucket_frames % hps.downsample == 0
         self.hps = hps
@@ -66,6 +67,7 @@ class Converter:
         self.stft_method = stft_method
         self.batch_size = batch_size
         self.bucket_frames = bucket_frames
+        self.stats = stats
         self.encoder = Encoder(hps)
         self.decoder = Decoder(hps)
 
@@ -84,15 +86,18 @@ class Converter:
         """
         hps, acfg = self.hps, self.acfg
 
-        def run(enc_params, dec_params, x, spk):
+        def run(enc_params, dec_params, x, spk, tgt_mean, tgt_std):
             # spk: [n_targets, B] — encode once, decode per target (features
-            # cross the tunnel once for ALL targets)
+            # cross the tunnel once for ALL targets). tgt_mean/std:
+            # [n_targets, n_feat] per-speaker denorm (identity when
+            # speaker_norm is off).
             logits = self.encoder.apply(enc_params, x.astype(jnp.float32))
             units = hard_units(logits)
             z = units.astype(jnp.float32)
 
-            def decode_one(spk_row):
-                xh = jnp.clip(self.decoder.apply(dec_params, z, spk_row), 0.0, 1.0)
+            def decode_one(spk_row, mean_row, std_row):
+                xh = self.decoder.apply(dec_params, z, spk_row)
+                xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
                 wav = jax.vmap(
                     lambda m: dsp_audio.spectrogram2wav(
                         m, acfg, n_iters=self.gl_iters, method=self.stft_method
@@ -100,7 +105,7 @@ class Converter:
                 )(xh)
                 return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
-            pcm = jax.vmap(decode_one)(spk)  # [n_tgt, B, n]
+            pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
             packed = jnp.packbits(units.astype(jnp.uint8), axis=-1)
             return packed, pcm
 
@@ -123,7 +128,13 @@ class Converter:
             feats = np.pad(feats, ((0, tb - t), (0, 0)))
         return feats
 
-    def convert_features_multi(self, feats_list: list[np.ndarray], spk_ids: list[int]):
+    def convert_features_multi(
+        self,
+        feats_list: list[np.ndarray],
+        spk_ids: list[int],
+        tgt_names: list[str] | None = None,
+        src_speakers: list[str] | None = None,
+    ):
         """Convert [T_i, n_feat] lin features for SEVERAL target speakers in
         one pass: features cross the wire once, units encode once, the
         decoder+vocoder run per target on-device.
@@ -137,6 +148,14 @@ class Converter:
         threading needed.
         """
         n = len(feats_list)
+        if self.stats is not None:
+            srcs = src_speakers or ["__global__"] * n
+            feats_list = [self.stats.normalize(f, s) for f, s in zip(feats_list, srcs)]
+            t_mean, t_std = self.stats.arrays_for(tgt_names or ["__global__"] * len(spk_ids))
+        else:
+            t_mean = np.zeros((len(spk_ids), self.hps.n_feat), np.float32)
+            t_std = np.ones((len(spk_ids), self.hps.n_feat), np.float32)
+        t_mean_d, t_std_d = jnp.asarray(t_mean), jnp.asarray(t_std)
         units_out: list = [None] * n
         wavs_out: list[list] = [[None] * n for _ in spk_ids]
 
@@ -158,7 +177,13 @@ class Converter:
                     xs.append(np.zeros_like(xs[0]))
                 x = jnp.asarray(np.stack(xs), dtype=jnp.bfloat16)  # half the wire
                 inflight.append(
-                    (chunk, *prog(self.enc_params, self.dec_params, x, jnp.asarray(spk_mat)))
+                    (
+                        chunk,
+                        *prog(
+                            self.enc_params, self.dec_params, x, jnp.asarray(spk_mat),
+                            t_mean_d, t_std_d,
+                        ),
+                    )
                 )
 
         for chunk, packed_d, pcm_d in inflight:
@@ -176,13 +201,15 @@ class Converter:
         units, wavs = self.convert_features_multi(feats_list, [spk_id])
         return list(zip(units, wavs[0]))
 
-    def convert_wav(self, wav: np.ndarray, spk_id: int, trim: bool = True):
+    def convert_wav(self, wav: np.ndarray, spk_id: int, trim: bool = True, tgt_name=None):
         """Single-utterance VC (ref --test_single, SURVEY.md §3.5)."""
         if trim:
             wav = trim_silence(wav, self.acfg.top_db)
         _, lin = dsp_audio.get_spectrograms(wav, self.acfg, bucket_frames=self.bucket_frames)
-        (res,) = self.convert_features([lin], spk_id)
-        return res
+        units, wavs = self.convert_features_multi(
+            [lin], [spk_id], tgt_names=[tgt_name] if tgt_name else None
+        )
+        return units[0], wavs[0][0]
 
 
 def convert_corpus(
@@ -202,7 +229,7 @@ def convert_corpus(
     ``<result>/<target>/<utt>.wav`` per target speaker.
     """
     result_dir = Path(result_dir)
-    feats, names = [], []
+    feats, names, srcs = [], [], []
     with h5py.File(dataset_path, "r") as f:
         if split not in f:
             raise ValueError(f"split {split!r} not in {dataset_path}")
@@ -210,6 +237,7 @@ def convert_corpus(
             for utt in f[split][spk]:
                 feats.append(f[f"{split}/{spk}/{utt}/lin"][:])
                 names.append(utt)
+                srcs.append(spk)
                 if limit and len(names) >= limit:
                     break
             if limit and len(names) >= limit:
@@ -218,7 +246,7 @@ def convert_corpus(
     n_wav = 0
     tgt_names = list(target_speakers)
     units_list, wavs_per_tgt = converter.convert_features_multi(
-        feats, [target_speakers[t] for t in tgt_names]
+        feats, [target_speakers[t] for t in tgt_names], tgt_names=tgt_names, src_speakers=srcs
     )
     for utt, units in zip(names, units_list):
         write_units(result_dir / "units" / f"{utt}.txt", units)
@@ -242,7 +270,7 @@ def convert_single(
     """Single (source wav, target speaker) demo path (ref --test_single)."""
     sr = sr or converter.acfg.sr
     y = load_wav(wav_path, sr)
-    units, wav = converter.convert_wav(y, target_id)
+    units, wav = converter.convert_wav(y, target_id, tgt_name=target)
     result_dir = Path(result_dir)
     stem = Path(wav_path).stem
     write_units(result_dir / "units" / f"{stem}.txt", units)

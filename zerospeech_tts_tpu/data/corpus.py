@@ -127,6 +127,8 @@ def build_corpus(
                 if split == "train":
                     mel_stats.setdefault(spk, _SpeakerStats()).update(mel)
                     lin_stats.setdefault(spk, _SpeakerStats()).update(lin)
+                    mel_stats.setdefault("__global__", _SpeakerStats()).update(mel)
+                    lin_stats.setdefault("__global__", _SpeakerStats()).update(lin)
                 if progress:
                     progress(split, str(path))
 

@@ -54,6 +54,11 @@ class SegmentLoader:
         self.speakers: dict[str, int] = json.loads(self._f.attrs["speakers"])
         self._cache: dict[tuple[str, str], np.ndarray] = {}
         self._cache_size = cache_size
+        self.stats = None
+        if hps.speaker_norm:
+            from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+            self.stats = SpeakerStats.load(self.h5_path, feat)
 
         tgt = set(target_speakers or [])
         self._real_entries = [e for e in self.entries if e["speaker"] in tgt] or self.entries
@@ -78,7 +83,10 @@ class SegmentLoader:
     def _segment(self, e: dict, t_key: str = "t0") -> np.ndarray:
         arr = self._utt(e["speaker"], e["utt"])
         t0 = e[t_key]
-        return arr[t0 : t0 + self.hps.seg_len]
+        seg = arr[t0 : t0 + self.hps.seg_len]
+        if self.stats is not None:
+            seg = self.stats.normalize(seg, e["speaker"])
+        return seg
 
     def _assemble(self) -> dict:
         h = self.hps

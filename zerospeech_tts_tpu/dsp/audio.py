@@ -312,8 +312,15 @@ def db_norm_to_amp(x: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("cfg", "method"))
 def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str | None = None):
     """Jitted frontend: preemphasized wav -> (mel[T, n_mels], mag[T, n_freq]),
-    both dB-normalized to [0, 1]. One XLA program; the mel projection is an
-    MXU matmul."""
+    both dB-normalized to [0, 1]. method=None auto-selects the Pallas fused
+    kernel on TPU (ops.pallas_frontend, ~20x the XLA path on-chip), the
+    matmul 'fused' path elsewhere."""
+    if method is None and jax.default_backend() == "tpu" and cfg.win_length % cfg.hop_length == 0:
+        method = "pallas"
+    if method == "pallas":
+        from zerospeech_tts_tpu.ops.pallas_frontend import wav_to_features_pallas
+
+        return wav_to_features_pallas(y, cfg)
     method = resolve_method(cfg, method)
     yp = preemphasis(y, cfg.preemphasis)
     re, im = stft(yp, cfg, method=method)
