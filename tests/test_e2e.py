@@ -181,3 +181,25 @@ def test_06_convert_rejects_bad_target(pipeline):
                 "--target", "NOPE",
             ]
         )
+
+
+def test_07_units_only(pipeline):
+    p = pipeline
+    out = p["root"] / "units_only"
+    cli_main(
+        [
+            "convert",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "-result_dir", str(out),
+            "--units-only",
+        ]
+    )
+    units = sorted((out / "units").glob("*.txt"))
+    assert len(units) == 2
+    u = read_units(units[0])
+    assert set(np.unique(u)).issubset({0, 1})
+    # no wavs were synthesized
+    assert not any(d.is_dir() and d.name.startswith("V") for d in out.iterdir())

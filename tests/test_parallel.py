@@ -99,3 +99,35 @@ def test_tp_sharded_apply(tiny_hps):
     p_sharded = jax.device_put(params, param_shardings(params, mesh, min_size=128))
     out = jax.jit(solver.encoder.apply)(p_sharded, jax.device_put(x, NamedSharding(mesh, P("data"))))
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_mesh_sharded_conversion_matches_single_device(tiny_hps):
+    """Corpus conversion sharded over the 'data' axis must produce the same
+    units and wavs as single-device (the v5e-8 conversion scale story)."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    feats = [
+        np.random.default_rng(i).uniform(0, 1, (64, 129)).astype(np.float32) for i in range(4)
+    ]
+
+    c0 = Converter(h, acfg, state.enc, state.dec, batch_size=4, bucket_frames=32)
+    u0, w0 = c0.convert_features_multi(feats, [0, 1])
+
+    mesh = make_mesh(data=4, model=1)
+    c1 = Converter(h, acfg, state.enc, state.dec, batch_size=4, bucket_frames=32, mesh=mesh)
+    u1, w1 = c1.convert_features_multi(feats, [0, 1])
+
+    for a, b in zip(u0, u1):
+        np.testing.assert_array_equal(a, b)
+    for k in range(2):
+        for a, b in zip(w0[k], w1[k]):
+            # int16 PCM: allow 1-LSB rounding differences across shardings
+            assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1

@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--units-only", action="store_true",
+                   help="dump discrete units without synthesis (ref enc_only)")
 
     p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
     _common(p)
@@ -258,6 +260,7 @@ def _load_converter(args, hps, acfg):
         gl_iters=getattr(args, "gl_iters", None),
         batch_size=getattr(args, "batch_size", 8),
         stats=stats,
+        mesh=_mesh_from_arg(args.mesh),
     )
 
 
@@ -290,6 +293,7 @@ def cmd_convert(args):
             split=args.split,
             sr=acfg.sr,
             limit=args.limit,
+            units_only=args.units_only,
         )
     dt = time.time() - t0
     print(

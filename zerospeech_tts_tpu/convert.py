@@ -57,10 +57,23 @@ class Converter:
         batch_size: int = 8,
         bucket_frames: int = 64,
         stats=None,  # SpeakerStats when hps.speaker_norm (z-norm in/out)
+        mesh=None,  # shard the utterance batch over the mesh 'data' axis
     ):
         assert bucket_frames % hps.downsample == 0
         self.hps = hps
         self.acfg = acfg
+        self.mesh = mesh
+        self._x_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                batch_size = -(-batch_size // n_data) * n_data  # round up
+            self._x_sharding = NamedSharding(mesh, P(None))  # params replicated
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            enc_params = jax.device_put(enc_params, self._x_sharding)
+            dec_params = jax.device_put(dec_params, self._x_sharding)
         self.enc_params = enc_params
         self.dec_params = dec_params
         self.gl_iters = gl_iters if gl_iters is not None else acfg.gl_iters
@@ -111,13 +124,44 @@ class Converter:
 
         return jax.jit(run)
 
-    def encode_program(self, n_frames: int):
+    @functools.lru_cache(maxsize=32)
+    def _encode_program(self, n_frames: int):
         """Units-only program (ref enc_only switch: dump units w/o synthesis)."""
 
         def run(enc_params, x):
-            return hard_units(self.encoder.apply(enc_params, x))
+            units = hard_units(self.encoder.apply(enc_params, x.astype(jnp.float32)))
+            return jnp.packbits(units.astype(jnp.uint8), axis=-1)
 
         return jax.jit(run)
+
+    def encode_units(self, feats_list: list[np.ndarray], src_speakers=None) -> list[np.ndarray]:
+        """Dump discrete units for a feature list without synthesis
+        (ref enc_only; the challenge bitrate-only submission path)."""
+        n = len(feats_list)
+        if self.stats is not None:
+            srcs = src_speakers or ["__global__"] * n
+            feats_list = [self.stats.normalize(f, s) for f, s in zip(feats_list, srcs)]
+        out: list = [None] * n
+        buckets: dict[int, list[int]] = {}
+        for i in np.argsort([-(f.shape[0]) for f in feats_list], kind="stable"):
+            tb = -(-feats_list[i].shape[0] // self.bucket_frames) * self.bucket_frames
+            buckets.setdefault(tb, []).append(int(i))
+        ds = self.hps.downsample
+        inflight = []
+        for tb, idxs in buckets.items():
+            prog = self._encode_program(tb)
+            for c0 in range(0, len(idxs), self.batch_size):
+                chunk = idxs[c0 : c0 + self.batch_size]
+                xs = [self._pad_frames(feats_list[i]) for i in chunk]
+                while len(xs) < self.batch_size:
+                    xs.append(np.zeros_like(xs[0]))
+                x = jnp.asarray(np.stack(xs), dtype=jnp.bfloat16)
+                inflight.append((chunk, prog(self.enc_params, x)))
+        for chunk, packed_d in inflight:
+            units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : self.hps.emb_size]
+            for j, i in enumerate(chunk):
+                out[i] = units[j][: feats_list[i].shape[0] // ds].astype(np.int32)
+        return out
 
     # ------------------------------------------------------------- helpers
 
@@ -175,7 +219,13 @@ class Converter:
                 xs = [self._pad_frames(feats_list[i]) for i in chunk]
                 while len(xs) < self.batch_size:  # pad batch with dummies
                     xs.append(np.zeros_like(xs[0]))
-                x = jnp.asarray(np.stack(xs), dtype=jnp.bfloat16)  # half the wire
+                x = np.stack(xs)
+                if self.mesh is not None:
+                    x = jax.device_put(
+                        jnp.asarray(x, dtype=jnp.bfloat16), self._batch_sharding
+                    )
+                else:
+                    x = jnp.asarray(x, dtype=jnp.bfloat16)  # half the wire
                 inflight.append(
                     (
                         chunk,
@@ -220,6 +270,7 @@ def convert_corpus(
     split: str = "test",
     sr: int = 16000,
     limit: int | None = None,
+    units_only: bool = False,
     progress=None,
 ) -> dict:
     """Corpus-wide conversion + unit extraction (ref --test, SURVEY.md §3.4).
@@ -245,6 +296,11 @@ def convert_corpus(
 
     n_wav = 0
     tgt_names = list(target_speakers)
+    if units_only:
+        units_list = converter.encode_units(feats, src_speakers=srcs)
+        for utt, units in zip(names, units_list):
+            write_units(result_dir / "units" / f"{utt}.txt", units)
+        return {"n_utterances": len(names), "n_wavs": 0, "result_dir": str(result_dir)}
     units_list, wavs_per_tgt = converter.convert_features_multi(
         feats, [target_speakers[t] for t in tgt_names], tgt_names=tgt_names, src_speakers=srcs
     )
