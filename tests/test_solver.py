@@ -137,3 +137,65 @@ def test_checkpoint_roundtrip(solver, tmp_path):
     b = jax.tree.leaves(restored.enc)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_many_device_data(tmp_path, tiny_hps):
+    """Device-resident dataset + multi-step dispatch: K steps in one jit
+    produce the same step-count and finite, decreasing losses."""
+    import h5py
+    import json as _json
+
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+    h = tiny_hps.replace(lr=2e-3, batch_size=4, seg_len=16)
+    # build a tiny h5 corpus directly
+    p = tmp_path / "ds.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(p, "w") as f:
+        for si, spk in enumerate(["A1", "A2", "V001"]):
+            for u in range(2):
+                t = 40 + 8 * u
+                x = rng.uniform(0, 1, (t, h.n_feat)).astype(np.float32)
+                f.create_dataset(f"train/{spk}/{spk}_{u}/lin", data=x)
+                f.create_dataset(f"train/{spk}/{spk}_{u}/mel", data=x[:, :20])
+        f.attrs["speakers"] = _json.dumps({"A1": 0, "A2": 1, "V001": 2})
+
+    ds = DeviceDataset.from_h5(p, h, feat="lin", target_speakers=["V001"])
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    state, m = sol.train_many(state, ds, "pretrain_AE", 5)
+    assert int(state.step) == 5
+    assert np.isfinite(float(m["loss_rec"]))
+    state, m2 = sol.train_many(state, ds, "train", 3)
+    assert int(state.step) == 8
+    for k in ("loss_rec", "loss_clf", "loss_adv"):
+        assert np.isfinite(float(m2[k]))
+    # one GAN cycle = n_critic + 1 steps
+    state, m3 = sol.train_many(state, ds, "patchGAN", 2)
+    assert int(state.step) == 8 + 2 * (h.n_critic + 1)
+    assert np.isfinite(float(m3["loss_d"])) and np.isfinite(float(m3["loss_g"]))
+
+
+def test_train_device_loop(tmp_path, tiny_hps):
+    import h5py
+    import json as _json
+
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+    from zerospeech_tts_tpu.train import Logger
+
+    h = tiny_hps.replace(batch_size=2, seg_len=16, log_interval=2, save_interval=100)
+    p = tmp_path / "ds.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(p, "w") as f:
+        for spk in ["A1", "A2"]:
+            x = rng.uniform(0, 1, (50, h.n_feat)).astype(np.float32)
+            f.create_dataset(f"train/{spk}/{spk}_0/lin", data=x)
+        f.attrs["speakers"] = _json.dumps({"A1": 0, "A2": 1})
+    ds = DeviceDataset.from_h5(p, h, feat="lin")
+    sol = Solver(h)
+    logs = []
+    logger = Logger(echo=None)
+    logger.log = lambda step, m, prefix="": logs.append((step, prefix))
+    state = sol.train_device(sol.init_state(jax.random.PRNGKey(0)), ds, "pretrain_AE", 5, logger=logger)
+    assert int(state.step) == 5
+    assert logs and logs[-1][0] == 5

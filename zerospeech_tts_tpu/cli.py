@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--iters-override", type=int, default=None, help="shrink all phases (smoke)")
         p.add_argument("--feat", default="lin", choices=["lin", "mel"])
         p.add_argument("--targets", nargs="*", default=None, help="stage-2 target speakers")
+        p.add_argument("--device-data", action="store_true",
+                       help="stage the train split in device HBM and run "
+                            "log_interval steps per dispatch (TPU-native fast path)")
 
     p = sub.add_parser("convert", help="corpus conversion + unit extraction (ref --test)")
     _common(p)
@@ -178,15 +181,28 @@ def _make_training(args):
 
         sharding = batch_sharding(mesh)
     solver = Solver(hps)
-    loader = SegmentLoader(
-        args.dataset_path,
-        args.index_path,
-        hps,
-        feat=args.feat,
-        target_speakers=args.targets,
-        sharding=sharding,
-        seed=hps.seed,
-    )
+    stats = None
+    if hps.speaker_norm:
+        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+        stats = SpeakerStats.load(args.dataset_path, args.feat)
+    if getattr(args, "device_data", False):
+        from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+        loader = DeviceDataset.from_h5(
+            args.dataset_path, hps, feat=args.feat,
+            target_speakers=args.targets, stats=stats,
+        )
+    else:
+        loader = SegmentLoader(
+            args.dataset_path,
+            args.index_path,
+            hps,
+            feat=args.feat,
+            target_speakers=args.targets,
+            sharding=sharding,
+            seed=hps.seed,
+        )
     ckpt = CheckpointManager(args.ckpt_dir)
     logger = Logger(args.log_dir or (Path(args.ckpt_dir) / "logs"))
     return jax, hps, mesh, solver, loader, ckpt, logger
@@ -210,11 +226,19 @@ def cmd_train1(args):
             from zerospeech_tts_tpu.parallel import replicate_state
 
             state = replicate_state(state, mesh)
-    with loader, _MaybeProfile(args):
-        it = iter(loader)
-        for mode, iters in phases:
-            print(f"== stage-1 phase {mode}: {iters} iters")
-            state = solver.train(state, it, mode, iters, logger=logger, ckpt=ckpt)
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+    if isinstance(loader, DeviceDataset):
+        with _MaybeProfile(args):
+            for mode, iters in phases:
+                print(f"== stage-1 phase {mode}: {iters} iters (device-data)")
+                state = solver.train_device(state, loader, mode, iters, logger=logger, ckpt=ckpt)
+    else:
+        with loader, _MaybeProfile(args):
+            it = iter(loader)
+            for mode, iters in phases:
+                print(f"== stage-1 phase {mode}: {iters} iters")
+                state = solver.train(state, it, mode, iters, logger=logger, ckpt=ckpt)
     ckpt.save(state, wait=True)
     ckpt.close()
     logger.close()
@@ -229,8 +253,14 @@ def cmd_train2(args):
     state = _restore(solver, ckpt, mesh)
     print(f"stage-2 from step {int(state.step)}")
     iters = args.iters_override or hps.patch_iters
-    with loader, _MaybeProfile(args):
-        state = solver.train(state, iter(loader), "patchGAN", iters, logger=logger, ckpt=ckpt)
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+    if isinstance(loader, DeviceDataset):
+        with _MaybeProfile(args):
+            state = solver.train_device(state, loader, "patchGAN", iters, logger=logger, ckpt=ckpt)
+    else:
+        with loader, _MaybeProfile(args):
+            state = solver.train(state, iter(loader), "patchGAN", iters, logger=logger, ckpt=ckpt)
     ckpt.save(state, wait=True)
     ckpt.close()
     logger.close()

@@ -1,0 +1,123 @@
+"""Device-resident dataset — TPU-native replacement for per-step host
+batching (no referent in the reference, which feeds batches from h5 via a
+torch DataLoader; SURVEY.md §2 "Data loader").
+
+The entire train split's feature frames are staged into device HBM ONCE as
+a flat arena ``[total_frames, n_feat]`` plus per-utterance
+(start, len, speaker) arrays. Segment batches are then sampled INSIDE the
+jitted train step (uniform over utterances weighted by the number of valid
+segment positions — matching the reference's pre-sampled uniform segment
+index in distribution) with ``lax.dynamic_slice`` gathers. Combined with
+``Solver.train_many`` (K steps per dispatch under ``lax.scan``) this
+removes all host<->device traffic and dispatch latency from the training
+loop.
+
+Memory: ZeroSpeech'19 English train lin features are ~9 GB f32 — they fit
+a 16 GB v5e chip; mel-only is ~1.4 GB. bf16 staging halves this
+(``dtype=jnp.bfloat16``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zerospeech_tts_tpu.config import Hps
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceDataset:
+    def __init__(self, arena, starts, lens, spk, real_mask, hps: Hps):
+        self.arena = arena          # [total_frames, F] on device
+        self.starts = starts        # [U] int32
+        self.lens = lens            # [U] int32
+        self.spk = spk              # [U] int32
+        self.real_mask = real_mask  # [U] bool: utterance belongs to a target speaker
+        self.hps = hps
+
+    def tree_flatten(self):
+        return (self.arena, self.starts, self.lens, self.spk, self.real_mask), self.hps
+
+    @classmethod
+    def tree_unflatten(cls, hps, children):
+        return cls(*children, hps)
+
+    @classmethod
+    def from_h5(
+        cls,
+        h5_path: str | Path,
+        hps: Hps,
+        feat: str = "lin",
+        split: str = "train",
+        target_speakers: list[str] | None = None,
+        dtype=jnp.float32,
+        stats=None,
+    ) -> "DeviceDataset":
+        import json
+
+        chunks, starts, lens, spks, real = [], [], [], [], []
+        pos = 0
+        with h5py.File(h5_path, "r") as f:
+            speakers = json.loads(f.attrs["speakers"])
+            tgt = set(target_speakers or [])
+            for spk_name in f[split]:
+                for utt in f[split][spk_name]:
+                    arr = f[f"{split}/{spk_name}/{utt}/{feat}"][:]
+                    if arr.shape[0] < hps.seg_len + 1:
+                        continue
+                    if stats is not None:
+                        arr = stats.normalize(arr, spk_name)
+                    chunks.append(arr)
+                    starts.append(pos)
+                    lens.append(arr.shape[0])
+                    spks.append(speakers[spk_name])
+                    real.append(spk_name in tgt)
+                    pos += arr.shape[0]
+        if not chunks:
+            raise ValueError(f"no usable utterances in {h5_path}:{split}")
+        real = np.asarray(real)
+        if not real.any():
+            real = np.ones_like(real)  # no targets known -> all speakers are "real"
+        arena = jnp.asarray(np.concatenate(chunks, axis=0), dtype=dtype)
+        return cls(
+            arena,
+            jnp.asarray(np.asarray(starts), jnp.int32),
+            jnp.asarray(np.asarray(lens), jnp.int32),
+            jnp.asarray(np.asarray(spks), jnp.int32),
+            jnp.asarray(real),
+            hps,
+        )
+
+    # ------------------------------------------------------- jit-side sampling
+
+    def _sample_from(self, rng: jax.Array, batch: int, weights: jnp.ndarray):
+        """Sample (x [B, seg, F], spk [B]) with utterances drawn ∝ weights *
+        n_valid_positions (the distribution of the reference's segment
+        index)."""
+        seg = self.hps.seg_len
+        n_pos = jnp.maximum(self.lens - seg + 1, 0).astype(jnp.float32)
+        w = n_pos * weights
+        k1, k2 = jax.random.split(rng)
+        idx = jax.random.categorical(k1, jnp.log(w + 1e-30), shape=(batch,))
+        u = jax.random.uniform(k2, (batch,))
+        t0 = (u * n_pos[idx]).astype(jnp.int32)
+        starts = self.starts[idx] + t0
+
+        def gather(s):
+            return jax.lax.dynamic_slice(self.arena, (s, 0), (seg, self.arena.shape[1]))
+
+        x = jax.vmap(gather)(starts).astype(jnp.float32)
+        return x, self.spk[idx]
+
+    def sample_batch(self, rng: jax.Array, batch: int | None = None) -> dict:
+        """Traceable batch sampler: stage-1 fields + stage-2 reals."""
+        batch = batch or self.hps.batch_size
+        k1, k2 = jax.random.split(rng)
+        ones = jnp.ones_like(self.lens, jnp.float32)
+        x, spk = self._sample_from(k1, batch, ones)
+        x_real, spk_real = self._sample_from(k2, batch, self.real_mask.astype(jnp.float32))
+        return {"x": x, "spk": spk, "x_real": x_real, "spk_real": spk_real}

@@ -325,6 +325,83 @@ class Solver:
         )
         return state, {"loss_g": l_g, "loss_g_adv": l_adv, "loss_g_cls": l_cls}
 
+    # ------------------------------------------- multi-step device-data path
+
+    def _step_body(self, mode: str):
+        """The un-jitted single-step function for ``mode`` (the jitted
+        wrappers carry a __wrapped__ attribute)."""
+        return {
+            "pretrain_AE": type(self).step_pretrain_ae,
+            "pretrain_C": type(self).step_pretrain_clf,
+            "train": type(self).step_train,
+        }[mode].__wrapped__
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=1)
+    def train_many(self, state: TrainState, dataset, mode: str, k_steps: int):
+        """Run k_steps of ``mode`` in ONE dispatch: a lax.scan whose body
+        samples the batch from the device-resident dataset and applies the
+        un-jitted step. Zero host traffic per step — the TPU-native answer
+        to the reference's per-batch DataLoader loop. Returns the state and
+        the LAST step's metrics.
+
+        For mode='patchGAN' each scan iteration is one full GAN cycle
+        (n_critic D steps + 1 G step), counting as n_critic+1 solver steps.
+        """
+        if mode == "patchGAN":
+
+            def body(st, _):
+                def d_once(st, _):
+                    k = jax.random.fold_in(st.rng, 17)
+                    st2, m = type(self).step_patch_d.__wrapped__(
+                        self, st, dataset.sample_batch(k)
+                    )
+                    return st2, m
+
+                st, md = jax.lax.scan(d_once, st, None, length=self.hps.n_critic)
+                k = jax.random.fold_in(st.rng, 19)
+                st, mg = type(self).step_patch_g.__wrapped__(self, st, dataset.sample_batch(k))
+                return st, {**jax.tree.map(lambda x: x[-1], md), **mg}
+
+        else:
+            step = self._step_body(mode)
+
+            def body(st, _):
+                k = jax.random.fold_in(st.rng, 17)
+                return step(self, st, dataset.sample_batch(k))
+
+        state, metrics = jax.lax.scan(body, state, None, length=k_steps)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    def train_device(
+        self,
+        state: TrainState,
+        dataset,
+        mode: str,
+        iters: int,
+        logger=None,
+        ckpt=None,
+        log_interval: int | None = None,
+        save_interval: int | None = None,
+    ) -> TrainState:
+        """Training loop over the device-resident dataset: chunks of
+        log_interval steps per dispatch, logging/checkpointing at chunk
+        boundaries."""
+        h = self.hps
+        log_interval = log_interval or h.log_interval
+        save_interval = save_interval or h.save_interval
+        done = 0
+        next_save = save_interval
+        while done < iters:
+            k = min(log_interval, iters - done)
+            state, metrics = self.train_many(state, dataset, mode, k)
+            done += k
+            if logger:
+                logger.log(int(state.step), metrics, prefix=mode)
+            if ckpt and done >= next_save:
+                ckpt.save(state)
+                next_save += save_interval
+        return state
+
     # -------------------------------------------------------- orchestration
 
     MODES = ("pretrain_AE", "pretrain_C", "train", "patchGAN")
