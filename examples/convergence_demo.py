@@ -1,0 +1,190 @@
+"""Convergence demo: train the full two-stage system on a synthetic
+multi-speaker corpus and verify it LEARNS (recon loss falls, the speaker
+classifier beats chance on latents before the adversarial phase pushes it
+back down, conversion produces target-speaker-shaped spectra).
+
+Synthetic speakers share "content" (pitch contours) but differ in timbre
+(formant filter + loudness), so voice conversion is meaningful: converting
+content c from speaker A to speaker V should land nearer V's spectral
+envelope than A's.
+
+Runs in ~3-4 min on the tunneled TPU (device-resident data, multi-step
+dispatch); add --cpu for a slower CPU run. Prints a JSON report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_corpus(root: Path, sr=16000, n_content=8, seconds=1.2):
+    """6 speakers x n_content utterances; speaker = formant filter + gain."""
+    import scipy.signal
+
+    from zerospeech_tts_tpu.dsp.wavio import save_wav
+
+    rng = np.random.default_rng(0)
+    speakers = {
+        "S01": (700, 0.35),
+        "S02": (1200, 0.5),
+        "S03": (1800, 0.4),
+        "S04": (2600, 0.55),
+        "V001": (900, 0.6),
+        "V002": (2200, 0.45),
+    }
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    for ci in range(n_content):
+        f0 = 110 + 15 * ci
+        vib = 1 + 0.02 * np.sin(2 * np.pi * (2 + 0.3 * ci) * t)
+        src = scipy.signal.square(2 * np.pi * f0 * vib * t) + 0.05 * rng.standard_normal(n)
+        for spk, (formant, gain) in speakers.items():
+            sos = scipy.signal.butter(4, [formant * 0.6, formant * 1.5], "bandpass", fs=sr, output="sos")
+            y = scipy.signal.sosfilt(sos, src)
+            y = gain * y / (np.abs(y).max() + 1e-9)
+            split = "test" if (spk.startswith("S") and ci >= n_content - 2) else "train"
+            save_wav(root / split / f"{spk}_{ci:04d}.wav", y.astype(np.float32), sr)
+    return list(speakers)
+
+
+def spectral_envelope(h5path, split, spk):
+    import h5py
+
+    envs = []
+    with h5py.File(h5path, "r") as f:
+        if split not in f or spk not in f[split]:
+            return None
+        for utt in f[split][spk]:
+            envs.append(f[f"{split}/{spk}/{utt}/lin"][:].mean(axis=0))
+    return np.mean(envs, axis=0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from zerospeech_tts_tpu.config import AudioConfig, Hps
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.data import build_corpus
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+    from zerospeech_tts_tpu.train import Solver
+
+    t_start = time.time()
+    work = Path(args.out or tempfile.mkdtemp(prefix="zs_demo_"))
+    corpus = work / "corpus"
+    print(f"== workdir {work}")
+    make_corpus(corpus)
+
+    acfg = AudioConfig(gl_iters=60)
+    hps = Hps(
+        batch_size=32,
+        seg_len=64,
+        n_feat=513,
+        emb_size=128,
+        spk_emb_size=32,
+        n_speakers=6,
+        bank_size=8,
+        bank_channels=64,
+        conv_channels=256,
+        lr=4e-4,
+        lat_sched_iters=max(1, args.iters),
+        alpha_enc=0.02,
+        n_critic=2,
+    )
+    manifest = build_corpus(corpus, work / "ds.h5", acfg)
+    print(f"== corpus {manifest['counts']}")
+
+    ds = DeviceDataset.from_h5(work / "ds.h5", hps, target_speakers=["V001", "V002"])
+    sol = Solver(hps)
+    state = sol.init_state(jax.random.PRNGKey(0))
+
+    report = {"iters": args.iters}
+    _, m0 = sol.train_many(jax.tree.map(jax.numpy.copy, state), ds, "pretrain_AE", 1)
+    report["loss_rec_initial"] = float(m0["loss_rec"])
+
+    phases = [
+        ("pretrain_AE", args.iters),
+        ("pretrain_C", args.iters // 2),
+        ("train", args.iters),
+        ("patchGAN", args.iters // 6),
+    ]
+    for mode, iters in phases:
+        t0 = time.time()
+        state, m = sol.train_many(state, ds, mode, iters)
+        m = {k: float(v) for k, v in m.items()}
+        dt = time.time() - t0
+        steps = iters * (hps.n_critic + 1) if mode == "patchGAN" else iters
+        print(f"== {mode}: {iters} iters in {dt:.1f}s ({steps / dt:.0f} steps/s) -> {m}")
+        if mode == "pretrain_AE":
+            report["loss_rec_after_ae"] = m["loss_rec"]
+        if mode == "pretrain_C":
+            report["clf_acc_after_pretrain"] = m["acc_clf"]
+        if mode == "train":
+            report["loss_rec_final"] = m["loss_rec"]
+            report["clf_acc_final"] = m["acc_clf"]
+        report[f"{mode}_steps_per_sec"] = round(steps / dt, 1)
+
+    # conversion: test utterances (held-out content) -> both target voices
+    conv = Converter(hps, acfg, state.enc, state.dec, gl_iters=40, batch_size=4)
+    import h5py
+
+    feats, names = [], []
+    with h5py.File(work / "ds.h5", "r") as f:
+        for spk in f["test"]:
+            for utt in f["test"][spk]:
+                feats.append(f[f"test/{spk}/{utt}/lin"][:])
+                names.append(utt)
+    units, wavs = conv.convert_features_multi(feats, [manifest["speakers"]["V001"],
+                                                      manifest["speakers"]["V002"]],
+                                              tgt_names=["V001", "V002"])
+    report["n_test_utts"] = len(names)
+    report["units_active_fraction"] = float(np.mean([u.mean() for u in units]))
+
+    # spectral-envelope check: converted-to-V001 outputs should sit closer to
+    # V001's train envelope than to V002's
+    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+
+    env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in ("V001", "V002")}
+    hits = 0
+    total = 0
+    for k, tgt in enumerate(("V001", "V002")):
+        other = "V002" if tgt == "V001" else "V001"
+        for w in wavs[k]:
+            mel, lin = dsp_audio.get_spectrograms(w.astype(np.float32) / 32767.0, acfg)
+            e = lin.mean(axis=0)
+            d_tgt = np.linalg.norm(e - env[tgt])
+            d_other = np.linalg.norm(e - env[other])
+            hits += int(d_tgt < d_other)
+            total += 1
+    report["target_envelope_accuracy"] = hits / total
+    report["wall_seconds"] = round(time.time() - t_start, 1)
+
+    print(json.dumps(report, indent=2))
+    ok = (
+        report["loss_rec_after_ae"] < 0.6 * report["loss_rec_initial"]
+        # classifier must beat chance on latents...
+        and report["clf_acc_after_pretrain"] >= 1.2 / hps.n_speakers
+        # ...and the adversarial phase must push it back toward/below chance
+        and report["clf_acc_final"] <= report["clf_acc_after_pretrain"]
+        and report["target_envelope_accuracy"] >= 0.5
+    )
+    print("CONVERGENCE:", "PASS" if ok else "WEAK")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -203,3 +203,33 @@ def test_07_units_only(pipeline):
     assert set(np.unique(u)).issubset({0, 1})
     # no wavs were synthesized
     assert not any(d.is_dir() and d.name.startswith("V") for d in out.iterdir())
+
+
+def test_08_mel_pipeline(tmp_path_factory):
+    """Train + convert on 80-dim mel features (--feat mel): the decoder
+    output goes through melspectrogram2wav (pinv mel lift + GL)."""
+    root = tmp_path_factory.mktemp("mel_e2e")
+    hps = dict(TINY_HPS, n_feat=20)  # = TINY_AUDIO n_mels
+    hps_path = root / "hps.json"
+    hps_path.write_text(json.dumps(hps))
+    corpus = root / "corpus"
+    rng = np.random.default_rng(0)
+    for split, speakers in [("train", ["S01", "V001"]), ("test", ["S09"])]:
+        for spk in speakers:
+            for i in range(2):
+                t = np.arange(12000) / 16000
+                y = (0.4 * np.sin(2 * np.pi * (200 + 40 * i) * t)).astype(np.float32)
+                save_wav(corpus / split / f"{spk}_{i:04d}.wav", y, 16000)
+    ds, idx, ckpt, out = root / "ds.h5", root / "i.json", root / "ck", root / "out"
+    cli_main(["preprocess", "--platform", "cpu", "-hps", str(hps_path), "--corpus", str(corpus),
+              "-dataset_path", str(ds), "-index_path", str(idx), "--n-samples", "50"])
+    cli_main(["train1", "--platform", "cpu", "-hps", str(hps_path), "-dataset_path", str(ds),
+              "-index_path", str(idx), "-ckpt_dir", str(ckpt), "--iters-override", "1",
+              "--feat", "mel"])
+    cli_main(["convert", "--platform", "cpu", "-hps", str(hps_path), "-dataset_path", str(ds),
+              "-ckpt_dir", str(ckpt), "-result_dir", str(out), "--target", "V001",
+              "--gl-iters", "4", "--batch-size", "2", "--feat", "mel"])
+    wavs = list((out / "V001").glob("*.wav"))
+    assert len(wavs) == 2
+    y = load_wav(wavs[0], 16000)
+    assert len(y) > 1000 and np.isfinite(y).all()

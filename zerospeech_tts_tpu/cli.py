@@ -74,6 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--units-only", action="store_true",
                    help="dump discrete units without synthesis (ref enc_only)")
+    p.add_argument("--feat", default="lin", choices=["lin", "mel"],
+                   help="features the model was trained on")
 
     p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
     _common(p)
@@ -281,7 +283,7 @@ def _load_converter(args, hps, acfg):
     if hps.speaker_norm:
         from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
 
-        stats = SpeakerStats.load(args.dataset_path, "lin")
+        stats = SpeakerStats.load(args.dataset_path, getattr(args, "feat", "lin"))
     return Converter(
         hps,
         acfg,
@@ -291,6 +293,7 @@ def _load_converter(args, hps, acfg):
         batch_size=getattr(args, "batch_size", 8),
         stats=stats,
         mesh=_mesh_from_arg(args.mesh),
+        feat=getattr(args, "feat", "lin"),
     )
 
 

@@ -58,8 +58,11 @@ class Converter:
         bucket_frames: int = 64,
         stats=None,  # SpeakerStats when hps.speaker_norm (z-norm in/out)
         mesh=None,  # shard the utterance batch over the mesh 'data' axis
+        feat: str = "lin",  # which features the AE was trained on (lin|mel)
     ):
         assert bucket_frames % hps.downsample == 0
+        assert feat in ("lin", "mel")
+        self.feat = feat
         self.hps = hps
         self.acfg = acfg
         self.mesh = mesh
@@ -108,13 +111,15 @@ class Converter:
             units = hard_units(logits)
             z = units.astype(jnp.float32)
 
+            vocoder = (
+                dsp_audio.spectrogram2wav if self.feat == "lin" else dsp_audio.melspectrogram2wav
+            )
+
             def decode_one(spk_row, mean_row, std_row):
                 xh = self.decoder.apply(dec_params, z, spk_row)
                 xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
                 wav = jax.vmap(
-                    lambda m: dsp_audio.spectrogram2wav(
-                        m, acfg, n_iters=self.gl_iters, method=self.stft_method
-                    )
+                    lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=self.stft_method)
                 )(xh)
                 return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
@@ -255,9 +260,10 @@ class Converter:
         """Single-utterance VC (ref --test_single, SURVEY.md §3.5)."""
         if trim:
             wav = trim_silence(wav, self.acfg.top_db)
-        _, lin = dsp_audio.get_spectrograms(wav, self.acfg, bucket_frames=self.bucket_frames)
+        mel, lin = dsp_audio.get_spectrograms(wav, self.acfg, bucket_frames=self.bucket_frames)
+        feats = lin if self.feat == "lin" else mel
         units, wavs = self.convert_features_multi(
-            [lin], [spk_id], tgt_names=[tgt_name] if tgt_name else None
+            [feats], [spk_id], tgt_names=[tgt_name] if tgt_name else None
         )
         return units[0], wavs[0][0]
 
@@ -286,7 +292,7 @@ def convert_corpus(
             raise ValueError(f"split {split!r} not in {dataset_path}")
         for spk in f[split]:
             for utt in f[split][spk]:
-                feats.append(f[f"{split}/{spk}/{utt}/lin"][:])
+                feats.append(f[f"{split}/{spk}/{utt}/{converter.feat}"][:])
                 names.append(utt)
                 srcs.append(spk)
                 if limit and len(names) >= limit:
