@@ -67,6 +67,11 @@ class DeviceDataset:
             for spk_name in f[split]:
                 for utt in f[split][spk_name]:
                     arr = f[f"{split}/{spk_name}/{utt}/{feat}"][:]
+                    if arr.shape[1] != hps.n_feat:
+                        raise ValueError(
+                            f"hps.n_feat={hps.n_feat} but corpus {feat!r} features "
+                            f"have {arr.shape[1]} bins — check --feat / hps"
+                        )
                     if arr.shape[0] < hps.seg_len + 1:
                         continue
                     if stats is not None:

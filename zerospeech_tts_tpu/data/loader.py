@@ -75,6 +75,11 @@ class SegmentLoader:
         arr = self._cache.get(key)
         if arr is None:
             arr = self._f[f"{self.split}/{spk}/{utt}/{self.feat}"][:]
+            if arr.shape[1] != self.hps.n_feat:
+                raise ValueError(
+                    f"hps.n_feat={self.hps.n_feat} but corpus {self.feat!r} features "
+                    f"have {arr.shape[1]} bins — check --feat / hps"
+                )
             if len(self._cache) >= self._cache_size:
                 self._cache.pop(next(iter(self._cache)))
             self._cache[key] = arr
