@@ -233,3 +233,20 @@ def test_08_mel_pipeline(tmp_path_factory):
     assert len(wavs) == 2
     y = load_wav(wavs[0], 16000)
     assert len(y) > 1000 and np.isfinite(y).all()
+
+
+def test_09_train1_auto_resume(pipeline, capsys):
+    p = pipeline
+    cli_main(
+        [
+            "train1",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-index_path", str(p["idx"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "--iters-override", "1",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "resumed from step" in out

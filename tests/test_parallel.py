@@ -131,3 +131,37 @@ def test_mesh_sharded_conversion_matches_single_device(tiny_hps):
         for a, b in zip(w0[k], w1[k]):
             # int16 PCM: allow 1-LSB rounding differences across shardings
             assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_distributed_single_host_noop(monkeypatch):
+    from zerospeech_tts_tpu.parallel import initialize, is_primary
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize() is False
+    assert is_primary() is True
+
+
+def test_bf16_converter_runs(tiny_hps):
+    import numpy as np
+
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    feats = [np.random.default_rng(0).uniform(0, 1, (32, 129)).astype(np.float32)]
+    c_f32 = Converter(h, acfg, state.enc, state.dec, batch_size=1, bucket_frames=32)
+    c_b16 = Converter(
+        h, acfg, state.enc, state.dec, batch_size=1, bucket_frames=32,
+        compute_dtype="bfloat16",
+    )
+    u32, w32 = c_f32.convert_features_multi(feats, [0])
+    u16, w16 = c_b16.convert_features_multi(feats, [0])
+    assert np.isfinite(w16[0][0].astype(np.float32)).all()
+    # bf16 may flip a small fraction of borderline units, not most of them
+    agree = (u32[0] == u16[0]).mean()
+    assert agree > 0.9, agree

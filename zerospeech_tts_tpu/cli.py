@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("-index_path", "--index_path", required=True)
         p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
         p.add_argument("--log_dir", default=None)
-        p.add_argument("--load_model", action="store_true", help="resume from latest ckpt")
+        p.add_argument("--load_model", action="store_true",
+                       help="resume from latest ckpt (also automatic; see --fresh)")
+        p.add_argument("--fresh", action="store_true",
+                       help="ignore existing checkpoints and start from scratch")
         p.add_argument("--iters-override", type=int, default=None, help="shrink all phases (smoke)")
         p.add_argument("--feat", default="lin", choices=["lin", "mel"])
         p.add_argument("--targets", nargs="*", default=None, help="stage-2 target speakers")
@@ -74,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--units-only", action="store_true",
                    help="dump discrete units without synthesis (ref enc_only)")
+    p.add_argument("--bf16", action="store_true",
+                   help="run encoder/decoder matmuls in bfloat16 (2x MXU rate; "
+                        "may flip borderline units)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"],
                    help="features the model was trained on")
 
@@ -219,7 +225,9 @@ def cmd_train1(args):
         ("pretrain_C", ov or hps.dis_pretrain_iters),
         ("train", ov or hps.iters),
     ]
-    if args.load_model and ckpt.latest_step() is not None:
+    if not args.fresh and ckpt.latest_step() is not None:
+        # auto-resume from the latest step (SURVEY.md §5 failure recovery);
+        # --load_model kept for reference-CLI compatibility
         state = _restore(solver, ckpt, mesh)
         print(f"resumed from step {int(state.step)}")
     else:
@@ -294,6 +302,7 @@ def _load_converter(args, hps, acfg):
         stats=stats,
         mesh=_mesh_from_arg(args.mesh),
         feat=getattr(args, "feat", "lin"),
+        compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
     )
 
 

@@ -59,10 +59,12 @@ class Converter:
         stats=None,  # SpeakerStats when hps.speaker_norm (z-norm in/out)
         mesh=None,  # shard the utterance batch over the mesh 'data' axis
         feat: str = "lin",  # which features the AE was trained on (lin|mel)
+        compute_dtype: str = "float32",  # bfloat16 doubles MXU rate on real v5e
     ):
         assert bucket_frames % hps.downsample == 0
         assert feat in ("lin", "mel")
         self.feat = feat
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self.hps = hps
         self.acfg = acfg
         self.mesh = mesh
@@ -107,16 +109,24 @@ class Converter:
             # cross the tunnel once for ALL targets). tgt_mean/std:
             # [n_targets, n_feat] per-speaker denorm (identity when
             # speaker_norm is off).
-            logits = self.encoder.apply(enc_params, x.astype(jnp.float32))
+            cd = self.compute_dtype
+            if cd != jnp.float32:
+                enc_params = jax.tree.map(
+                    lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, enc_params
+                )
+                dec_params = jax.tree.map(
+                    lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
+                )
+            logits = self.encoder.apply(enc_params, x.astype(cd)).astype(jnp.float32)
             units = hard_units(logits)
-            z = units.astype(jnp.float32)
+            z = units.astype(cd)
 
             vocoder = (
                 dsp_audio.spectrogram2wav if self.feat == "lin" else dsp_audio.melspectrogram2wav
             )
 
             def decode_one(spk_row, mean_row, std_row):
-                xh = self.decoder.apply(dec_params, z, spk_row)
+                xh = self.decoder.apply(dec_params, z, spk_row).astype(jnp.float32)
                 xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
                 wav = jax.vmap(
                     lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=self.stft_method)

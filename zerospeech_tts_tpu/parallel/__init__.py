@@ -9,6 +9,7 @@ attention) and are intentionally out of scope; the long-sequence story is
 batch-of-utterances sharding + blockwise DSP kernels.
 """
 
+from zerospeech_tts_tpu.parallel.distributed import initialize, is_primary  # noqa: F401
 from zerospeech_tts_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
