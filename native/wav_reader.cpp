@@ -73,11 +73,15 @@ int wr_decode(const char* path, float* out, int64_t max_len, int target_sr) {
         if (!std::memcmp(chunk, "fmt ", 4)) {
             std::vector<uint8_t> buf(size);
             if (std::fread(buf.data(), 1, size, f) != size) break;
+            if (size < 16) {  // legacy WAVEFORMAT without wBitsPerSample
+                std::fclose(f);
+                return -3;
+            }
             std::memcpy(&fmt, buf.data(), 2);
             std::memcpy(&channels, buf.data() + 2, 2);
             std::memcpy(&sr, buf.data() + 4, 4);
             std::memcpy(&bits, buf.data() + 14, 2);
-            if (fmt == 0xFFFE && size >= 40) std::memcpy(&fmt, buf.data() + 24, 2);
+            if (fmt == 0xFFFE && size >= 26) std::memcpy(&fmt, buf.data() + 24, 2);
         } else if (!std::memcmp(chunk, "data", 4)) {
             data.resize(size);
             size_t got = std::fread(data.data(), 1, size, f);

@@ -73,10 +73,12 @@ def test_segment_index_and_loader(corpus, tmp_path):
     assert len(entries) == 100
     assert all(e["t0"] >= 0 and "t1" in e for e in entries)
 
-    with SegmentLoader(h5, idx, hps, feat="lin", target_speakers=["V001"], prefetch=0) as dl:
+    with SegmentLoader(
+        h5, idx, hps, feat="lin", target_speakers=["V001"], prefetch=0, pairs=True
+    ) as dl:
         b = next(iter(dl))
         assert b["x"].shape == (4, 32, ACFG.n_freq)
-        assert b["x2"].shape == (4, 32, ACFG.n_freq)
+        assert b["x2"].shape == (4, 32, ACFG.n_freq)  # pairs=True opt-in
         assert b["spk"].shape == (4,) and b["spk"].dtype == np.int32
         # stage-2 reals come only from V001
         v = dl.speakers["V001"]
@@ -100,3 +102,13 @@ def test_segment_index_rejects_too_long(corpus, tmp_path):
     root, h5, manifest = corpus
     with pytest.raises(ValueError, match="no utterance"):
         make_segment_index(h5, tmp_path / "i.json", 10_000, 10)
+
+
+def test_loader_prefetch_propagates_errors(corpus, tmp_path):
+    """A worker-thread failure must surface in next(), not hang training."""
+    hps = Hps(batch_size=2, seg_len=16, n_feat=999, n_speakers=4)  # wrong n_feat
+    idx = tmp_path / "i.json"
+    make_segment_index(corpus[1], idx, hps.seg_len, 20, seed=0)
+    with SegmentLoader(corpus[1], idx, hps, prefetch=2) as dl:
+        with pytest.raises(ValueError, match="n_feat"):
+            next(iter(dl))

@@ -78,12 +78,22 @@ def test_stage1_train_step(solver, state0):
     assert float(m["alpha"]) <= solver.hps.alpha_enc
 
 
-def test_alpha_annealing(solver, state0):
-    s10 = state0.replace(step=jnp.asarray(5, jnp.int32))
-    a = float(solver._alpha(s10.step))
-    assert 0 < a < solver.hps.alpha_enc
-    s_full = state0.replace(step=jnp.asarray(10_000, jnp.int32))
-    assert float(solver._alpha(s_full.step)) == pytest.approx(solver.hps.alpha_enc)
+def test_alpha_annealing(solver):
+    """alpha ramps over lat_sched_iters RELATIVE to the start of the
+    'train' phase (after the two pretrain phases), so the warm-up actually
+    happens at the first adversarial steps."""
+    h = solver.hps
+    start = h.enc_pretrain_iters + h.dis_pretrain_iters
+    # still zero anywhere inside the pretrain phases
+    assert float(solver._alpha(jnp.asarray(start - 1, jnp.int32))) == 0.0
+    assert float(solver._alpha(jnp.asarray(5, jnp.int32))) == 0.0
+    # mid-ramp
+    mid = start + h.lat_sched_iters // 2
+    a = float(solver._alpha(jnp.asarray(mid, jnp.int32)))
+    assert 0 < a < h.alpha_enc
+    # saturated
+    full = start + h.lat_sched_iters + 10
+    assert float(solver._alpha(jnp.asarray(full, jnp.int32))) == pytest.approx(h.alpha_enc)
 
 
 def test_stage2_patchgan_steps(solver, state0):

@@ -230,6 +230,17 @@ def cmd_train1(args):
         # --load_model kept for reference-CLI compatibility
         state = _restore(solver, ckpt, mesh)
         print(f"resumed from step {int(state.step)}")
+        # skip the parts of the stage-1 schedule already completed: phases
+        # run in order, so the global step locates us inside the schedule
+        done = int(state.step)
+        trimmed = []
+        for mode, iters in phases:
+            run_now = max(0, min(iters, iters - done))
+            done = max(0, done - iters)
+            trimmed.append((mode, run_now))
+        phases = trimmed
+        if all(n == 0 for _, n in phases):
+            print("stage-1 schedule already complete; nothing to do")
     else:
         state = solver.init_state(jax.random.PRNGKey(hps.seed))
         if mesh is not None:
@@ -238,15 +249,26 @@ def cmd_train1(args):
             state = replicate_state(state, mesh)
     from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
 
+    bsh = None
+    if mesh is not None:
+        from zerospeech_tts_tpu.parallel import batch_sharding as _bs
+
+        bsh = _bs(mesh)
     if isinstance(loader, DeviceDataset):
         with _MaybeProfile(args):
             for mode, iters in phases:
+                if iters == 0:
+                    continue
                 print(f"== stage-1 phase {mode}: {iters} iters (device-data)")
-                state = solver.train_device(state, loader, mode, iters, logger=logger, ckpt=ckpt)
+                state = solver.train_device(
+                    state, loader, mode, iters, logger=logger, ckpt=ckpt, batch_sharding=bsh
+                )
     else:
         with loader, _MaybeProfile(args):
             it = iter(loader)
             for mode, iters in phases:
+                if iters == 0:
+                    continue
                 print(f"== stage-1 phase {mode}: {iters} iters")
                 state = solver.train(state, it, mode, iters, logger=logger, ckpt=ckpt)
     ckpt.save(state, wait=True)
@@ -265,9 +287,16 @@ def cmd_train2(args):
     iters = args.iters_override or hps.patch_iters
     from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
 
+    bsh = None
+    if mesh is not None:
+        from zerospeech_tts_tpu.parallel import batch_sharding as _bs
+
+        bsh = _bs(mesh)
     if isinstance(loader, DeviceDataset):
         with _MaybeProfile(args):
-            state = solver.train_device(state, loader, "patchGAN", iters, logger=logger, ckpt=ckpt)
+            state = solver.train_device(
+                state, loader, "patchGAN", iters, logger=logger, ckpt=ckpt, batch_sharding=bsh
+            )
     else:
         with loader, _MaybeProfile(args):
             state = solver.train(state, iter(loader), "patchGAN", iters, logger=logger, ckpt=ckpt)

@@ -40,7 +40,9 @@ class SegmentLoader:
         seed: int = 0,
         cache_size: int = 1024,
         prefetch: int = 2,
+        pairs: bool = False,  # also yield the same-utterance pair segment x2
     ):
+        self.pairs = pairs
         self.h5_path = str(h5_path)
         self.hps = hps
         self.feat = feat
@@ -97,7 +99,6 @@ class SegmentLoader:
         h = self.hps
         idx = self.rng.integers(0, len(self.entries), h.batch_size)
         x = np.stack([self._segment(self.entries[i]) for i in idx])
-        x2 = np.stack([self._segment(self.entries[i], "t1") for i in idx])
         spk = np.array([self.speakers[self.entries[i]["speaker"]] for i in idx], np.int32)
 
         ridx = self.rng.integers(0, len(self._real_entries), h.batch_size)
@@ -107,11 +108,14 @@ class SegmentLoader:
         )
         batch = {
             "x": x.astype(np.float32),
-            "x2": x2.astype(np.float32),
             "spk": spk,
             "x_real": x_real.astype(np.float32),
             "spk_real": spk_real,
         }
+        if self.pairs:  # reference same-utterance pair contract, opt-in
+            batch["x2"] = np.stack(
+                [self._segment(self.entries[i], "t1") for i in idx]
+            ).astype(np.float32)
         if self.sharding is not None:
             batch = jax.device_put(batch, self.sharding)
         return batch
@@ -120,13 +124,18 @@ class SegmentLoader:
 
     def _worker(self):
         while not self._stop.is_set():
-            b = self._assemble()
+            try:
+                b = self._assemble()
+            except BaseException as e:  # propagate to the consumer, don't hang it
+                b = e
             while not self._stop.is_set():
                 try:
                     self._q.put(b, timeout=0.5)
                     break
                 except queue.Full:
                     continue
+            if isinstance(b, BaseException):
+                return
 
     def __iter__(self):
         if self._prefetch > 0 and self._thread is None:
@@ -137,7 +146,10 @@ class SegmentLoader:
 
     def __next__(self) -> dict:
         if self._thread is not None:
-            return self._q.get()
+            b = self._q.get()
+            if isinstance(b, BaseException):
+                raise b
+            return b
         return self._assemble()
 
     def close(self):

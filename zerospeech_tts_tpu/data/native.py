@@ -97,10 +97,16 @@ def trim_native(y: np.ndarray, top_db: float, frame_length=2048, hop_length=512)
 
 
 def load_and_trim(path: str | Path, sr: int, top_db: float | None) -> np.ndarray:
-    """Native decode+trim with automatic fallback to the scipy path."""
+    """Native decode+trim, falling back to the scipy path when the library
+    is missing OR the native decode fails (overlong file, exotic format)."""
     from zerospeech_tts_tpu.dsp.wavio import load_wav, trim_silence
 
-    y = load_wav_native(path, sr) if available() else None
+    y = None
+    if available():
+        try:
+            y = load_wav_native(path, sr)
+        except ValueError:
+            y = None  # scipy fallback below
     if y is None:
         y = load_wav(path, sr)
     if top_db is not None:

@@ -181,13 +181,14 @@ def resolve_method(cfg: AudioConfig, method: str | None) -> str:
 
 
 def pad_to_bucket(y: np.ndarray, cfg: AudioConfig, bucket_frames: int = 64) -> np.ndarray:
-    """Zero-pad a wav so its frame count is a multiple of bucket_frames,
-    bounding the number of distinct jit shapes during corpus preprocessing."""
+    """Zero-pad a wav to the CANONICAL length of its frame bucket — the
+    maximum sample count yielding t_pad frames — so every wav in a bucket
+    produces exactly one jit shape (never trims real samples)."""
     t = n_frames_for(len(y), cfg)
     t_pad = -(-t // bucket_frames) * bucket_frames
-    n_pad_samples = (t_pad - 1) * cfg.hop_length
-    if n_pad_samples > len(y):
-        y = np.concatenate([y, np.zeros(n_pad_samples - len(y), dtype=y.dtype)])
+    target = t_pad * cfg.hop_length - 1  # longest signal with t_pad frames
+    if target > len(y):
+        y = np.concatenate([y, np.zeros(target - len(y), dtype=y.dtype)])
     return y
 
 

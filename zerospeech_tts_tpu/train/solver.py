@@ -116,9 +116,15 @@ class Solver:
         return z
 
     def _alpha(self, step):
-        """Adversarial-weight annealing over lat_sched_iters (ref solver)."""
+        """Adversarial-weight annealing over lat_sched_iters (ref solver).
+
+        The ramp is relative to the start of the 'train' phase (global step
+        minus the two pretrain phase lengths), so the warm-up the schedule
+        exists for actually happens at the first adversarial steps and is
+        reproducible across resumes."""
         h = self.hps
-        return h.alpha_enc * jnp.minimum(1.0, step.astype(jnp.float32) / h.lat_sched_iters)
+        rel = step.astype(jnp.float32) - (h.enc_pretrain_iters + h.dis_pretrain_iters)
+        return h.alpha_enc * jnp.clip(rel / h.lat_sched_iters, 0.0, 1.0)
 
     # ---------------------------------------------------------- stage 1
 
@@ -336,8 +342,10 @@ class Solver:
             "train": type(self).step_train,
         }[mode].__wrapped__
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4), donate_argnums=1)
-    def train_many(self, state: TrainState, dataset, mode: str, k_steps: int):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5), donate_argnums=1)
+    def train_many(
+        self, state: TrainState, dataset, mode: str, k_steps: int, batch_sharding=None
+    ):
         """Run k_steps of ``mode`` in ONE dispatch: a lax.scan whose body
         samples the batch from the device-resident dataset and applies the
         un-jitted step. Zero host traffic per step — the TPU-native answer
@@ -346,20 +354,31 @@ class Solver:
 
         For mode='patchGAN' each scan iteration is one full GAN cycle
         (n_critic D steps + 1 G step), counting as n_critic+1 solver steps.
+
+        batch_sharding: optional (hashable) NamedSharding constraining the
+        sampled batch over the mesh 'data' axis — the DP path for
+        device-resident training.
         """
+
+        def sample(k):
+            b = dataset.sample_batch(k)
+            if batch_sharding is not None:
+                b = jax.lax.with_sharding_constraint(
+                    b, jax.tree.map(lambda _: batch_sharding, b)
+                )
+            return b
+
         if mode == "patchGAN":
 
             def body(st, _):
                 def d_once(st, _):
                     k = jax.random.fold_in(st.rng, 17)
-                    st2, m = type(self).step_patch_d.__wrapped__(
-                        self, st, dataset.sample_batch(k)
-                    )
+                    st2, m = type(self).step_patch_d.__wrapped__(self, st, sample(k))
                     return st2, m
 
                 st, md = jax.lax.scan(d_once, st, None, length=self.hps.n_critic)
                 k = jax.random.fold_in(st.rng, 19)
-                st, mg = type(self).step_patch_g.__wrapped__(self, st, dataset.sample_batch(k))
+                st, mg = type(self).step_patch_g.__wrapped__(self, st, sample(k))
                 return st, {**jax.tree.map(lambda x: x[-1], md), **mg}
 
         else:
@@ -367,7 +386,7 @@ class Solver:
 
             def body(st, _):
                 k = jax.random.fold_in(st.rng, 17)
-                return step(self, st, dataset.sample_batch(k))
+                return step(self, st, sample(k))
 
         state, metrics = jax.lax.scan(body, state, None, length=k_steps)
         return state, jax.tree.map(lambda x: x[-1], metrics)
@@ -382,6 +401,7 @@ class Solver:
         ckpt=None,
         log_interval: int | None = None,
         save_interval: int | None = None,
+        batch_sharding=None,
     ) -> TrainState:
         """Training loop over the device-resident dataset: chunks of
         log_interval steps per dispatch, logging/checkpointing at chunk
@@ -393,7 +413,7 @@ class Solver:
         next_save = save_interval
         while done < iters:
             k = min(log_interval, iters - done)
-            state, metrics = self.train_many(state, dataset, mode, k)
+            state, metrics = self.train_many(state, dataset, mode, k, batch_sharding)
             done += k
             if logger:
                 logger.log(int(state.step), metrics, prefix=mode)
