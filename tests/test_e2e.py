@@ -250,3 +250,24 @@ def test_09_train1_auto_resume(pipeline, capsys):
     )
     out = capsys.readouterr().out
     assert "resumed from step" in out
+
+
+def test_10_eval_metrics(pipeline, capsys):
+    p = pipeline
+    cli_main(
+        [
+            "eval",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "--units", str(p["out"] / "units"),
+            "--recon",
+            "-dataset_path", str(p["ds"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "--n-segments", "8",
+        ]
+    )
+    rep = json.loads(capsys.readouterr().out)
+    br = rep["bitrate"]
+    assert br["n_utterances"] == 2 and br["bitrate_bits_per_second"] > 0
+    assert 0 <= rep["units"]["active_fraction"] <= 1
+    assert rep["reconstruction"]["recon_l1"] > 0

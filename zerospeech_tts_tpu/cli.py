@@ -83,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feat", default="lin", choices=["lin", "mel"],
                    help="features the model was trained on")
 
+    p = sub.add_parser("eval", help="challenge metrics: unit bitrate, recon L1, unit stats")
+    _common(p)
+    p.add_argument("--units", default=None, metavar="DIR", help="unit-file dir -> bitrate + stats")
+    p.add_argument("-dataset_path", "--dataset_path", default=None)
+    p.add_argument("-ckpt_dir", "--ckpt_dir", default=None)
+    p.add_argument("--recon", action="store_true", help="reconstruction L1 (needs dataset+ckpt)")
+    p.add_argument("--feat", default="lin", choices=["lin", "mel"])
+    p.add_argument("--split", default="train")
+    p.add_argument("--n-segments", type=int, default=64)
+
     p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
     _common(p)
     p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (for speaker map)")
@@ -373,6 +383,34 @@ def cmd_convert(args):
     )
 
 
+def cmd_eval(args):
+    _setup_platform(args)
+    from zerospeech_tts_tpu import eval as ev
+
+    hps, acfg = load_configs(args.hps)
+    report = {}
+    if args.units:
+        frame_seconds = acfg.hop_length * hps.downsample / acfg.sr
+        report["bitrate"] = ev.unit_bitrate(args.units, frame_seconds)
+        report["units"] = ev.unit_stats(args.units)
+    if args.recon:
+        if not (args.dataset_path and args.ckpt_dir):
+            sys.exit("--recon needs -dataset_path and -ckpt_dir")
+        from zerospeech_tts_tpu.train import CheckpointManager, Solver
+
+        solver = Solver(hps)
+        ckpt = CheckpointManager(args.ckpt_dir)
+        state = _restore(solver, ckpt)
+        ckpt.close()
+        report["reconstruction"] = ev.reconstruction_l1(
+            solver, state, args.dataset_path, hps,
+            feat=args.feat, split=args.split, n_segments=args.n_segments,
+        )
+    if not report:
+        sys.exit("nothing to evaluate: pass --units DIR and/or --recon")
+    print(json.dumps(report, indent=2))
+
+
 def cmd_convert_single(args):
     _setup_platform(args)
     from zerospeech_tts_tpu.convert import convert_single
@@ -396,6 +434,7 @@ def main(argv=None) -> None:
         "train2": cmd_train2,
         "convert": cmd_convert,
         "convert-single": cmd_convert_single,
+        "eval": cmd_eval,
     }[args.cmd](args)
 
 

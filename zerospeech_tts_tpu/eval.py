@@ -1,0 +1,113 @@
+"""Evaluation utilities for the challenge metrics the framework's outputs
+feed (SURVEY.md §4: the reference relies on the external ZeroSpeech'19
+toolkit; the two metrics computable locally are reimplemented here so
+training runs can track them).
+
+* **Unit bitrate** — the official ZR19 bitrate of a set of dumped unit
+  files: B = n_frames * H(symbol) / total_duration_seconds, where symbols
+  are whole unit vectors and H is the empirical entropy over the corpus.
+* **Reconstruction L1** — mel/lin L1 of decode(encode(x), speaker) on
+  held-out segments (the BASELINE.json "mel-reconstruction L1" gate).
+* **Unit statistics** — active-bit fraction and per-dimension usage
+  (collapse diagnostics).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+
+def unit_bitrate(units_dir: str | Path, frame_seconds: float) -> dict:
+    """Official-style bitrate over all unit files in a directory.
+
+    frame_seconds: duration of one latent frame (hop * downsample / sr;
+    0.1 s for the default 200-hop x8-downsample 16 kHz config).
+    """
+    from zerospeech_tts_tpu.convert import read_units
+
+    files = sorted(Path(units_dir).glob("*.txt"))
+    if not files:
+        raise ValueError(f"no unit files in {units_dir}")
+    counts: Counter = Counter()
+    n_frames = 0
+    for fp in files:
+        u = read_units(fp)
+        n_frames += u.shape[0]
+        for row in u:
+            counts[row.tobytes()] += 1
+    total = sum(counts.values())
+    entropy = -sum((c / total) * math.log2(c / total) for c in counts.values())
+    duration = n_frames * frame_seconds
+    return {
+        "n_utterances": len(files),
+        "n_frames": n_frames,
+        "n_symbols": len(counts),
+        "symbol_entropy_bits": round(entropy, 4),
+        "duration_seconds": round(duration, 2),
+        "bitrate_bits_per_second": round(n_frames * entropy / duration, 2) if duration else 0.0,
+    }
+
+
+def unit_stats(units_dir: str | Path) -> dict:
+    """Collapse diagnostics over dumped units."""
+    from zerospeech_tts_tpu.convert import read_units
+
+    rows = [read_units(fp) for fp in sorted(Path(units_dir).glob("*.txt"))]
+    u = np.concatenate(rows, axis=0)
+    per_dim = u.mean(axis=0)
+    return {
+        "active_fraction": round(float(u.mean()), 4),
+        "dead_dims": int(np.sum((per_dim < 1e-3) | (per_dim > 1 - 1e-3))),
+        "n_dims": int(u.shape[1]),
+    }
+
+
+def reconstruction_l1(
+    solver, state, dataset_path: str | Path, hps, feat: str = "lin",
+    split: str = "train", n_segments: int = 64, seed: int = 0,
+) -> dict:
+    """decode(encode(x), true speaker) L1 on sampled segments — the
+    BASELINE.json reconstruction gate, measured with deterministic
+    (inference-mode) units."""
+    import h5py
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from zerospeech_tts_tpu.models import discretize
+
+    rng = np.random.default_rng(seed)
+    segs, spks = [], []
+    with h5py.File(dataset_path, "r") as f:
+        speakers = json.loads(f.attrs["speakers"])
+        pool = [
+            (spk, utt, f[f"{split}/{spk}/{utt}/{feat}"].shape[0])
+            for spk in f[split]
+            for utt in f[split][spk]
+            if f[f"{split}/{spk}/{utt}/{feat}"].shape[0] >= hps.seg_len
+        ]
+        if not pool:
+            raise ValueError("no segments long enough for reconstruction eval")
+        for i in rng.integers(0, len(pool), n_segments):
+            spk, utt, t = pool[i]
+            t0 = int(rng.integers(0, t - hps.seg_len + 1))
+            segs.append(f[f"{split}/{spk}/{utt}/{feat}"][t0 : t0 + hps.seg_len])
+            spks.append(speakers[spk])
+
+    x = jnp.asarray(np.stack(segs))
+    spk = jnp.asarray(np.asarray(spks, np.int32))
+
+    @jax.jit
+    def recon(enc_params, dec_params, x, spk):
+        logits = solver.encoder.apply(enc_params, x)
+        z = discretize(logits, hps.enc_mode, hps.gumbel_temp, None)
+        xh = solver.decoder.apply(dec_params, z, spk)
+        return jnp.abs(xh - x).mean()
+
+    l1 = float(recon(state.enc, state.dec, x, spk))
+    return {"recon_l1": round(l1, 6), "n_segments": n_segments, "feat": feat, "split": split}
