@@ -123,6 +123,42 @@ def main():
     ref_dt = time.perf_counter() - t0
     ref_utt_per_sec = n_ref / ref_dt
 
+    # secondary metric: flagship-size training throughput via the
+    # device-resident multi-step path (skipped in --quick to bound runtime)
+    train_sps = None
+    if not quick:
+        try:
+            import h5py
+            import os
+            import tempfile
+
+            import jax.numpy as jnp
+
+            from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+            from zerospeech_tts_tpu.train import Solver
+
+            h5p = tempfile.mktemp(suffix=".h5")
+            with h5py.File(h5p, "w") as f:
+                sp = {}
+                for i in range(8):
+                    spk = f"S{i:02d}"
+                    sp[spk] = i
+                    x = rng.uniform(0, 1, (500, hps.n_feat)).astype(np.float32)
+                    f.create_dataset(f"train/{spk}/{spk}_0/lin", data=x)
+                f.attrs["speakers"] = json.dumps(sp)
+            ds = DeviceDataset.from_h5(h5p, hps.replace(n_speakers=8))
+            sol = Solver(hps.replace(n_speakers=8))
+            st = sol.init_state(jax.random.PRNGKey(0))
+            st, m = sol.train_many(st, ds, "train", 25)  # compile
+            _ = float(m["loss_rec"])
+            t0 = time.perf_counter()
+            st, m = sol.train_many(st, ds, "train", 25)
+            _ = float(m["loss_rec"])
+            train_sps = round(25 / (time.perf_counter() - t0), 1)
+            os.unlink(h5p)
+        except Exception:
+            train_sps = None
+
     print(
         json.dumps(
             {
@@ -133,6 +169,7 @@ def main():
                 "baseline": round(ref_utt_per_sec, 4),
                 "baseline_desc": "reference CPU numpy Griffin-Lim path (vocoder only, lower bound on ref cost)",
                 "rtf": round(rtf, 2),
+                "train_steps_per_sec": train_sps,
                 "platform": platform,
                 "n_utts": n_utts,
                 "gl_iters": gl_iters,

@@ -38,3 +38,36 @@ def test_pallas_frontend_small_config():
     mel2, mag2 = wav_to_features_pallas(jnp.asarray(y), cfg, interpret=True)
     np.testing.assert_allclose(np.asarray(mag1), np.asarray(mag2), atol=2e-3)
     np.testing.assert_allclose(np.asarray(mel1), np.asarray(mel2), atol=2e-3)
+
+
+def test_pallas_griffin_lim_matches_xla_consistency():
+    """Whole-GL-in-VMEM kernel: same magnitude-consistency as the XLA GL
+    (edges use OLA tails instead of reflect-pad, so samples differ but the
+    converged spectral fit must match)."""
+    from zerospeech_tts_tpu.ops.pallas_gl import griffin_lim_pallas, pallas_gl_supported
+
+    y = (0.6 * np.sin(2 * np.pi * 440 * np.arange(12000) / 16000)).astype(np.float32)
+    re, im = A.stft(jnp.asarray(y), CFG, method="fused")
+    mag = jnp.sqrt(re**2 + im**2)
+    assert pallas_gl_supported(CFG, mag.shape[0])
+    out_p = np.asarray(griffin_lim_pallas(mag, CFG, n_iters=12, interpret=True))
+    out_x = np.asarray(A.griffin_lim(mag, CFG, n_iters=12))
+
+    def consistency(out):
+        r2, i2 = A.stft(jnp.asarray(out), CFG, method="fused")
+        m2 = np.sqrt(np.asarray(r2) ** 2 + np.asarray(i2) ** 2)
+        m = np.asarray(mag)
+        return float(np.linalg.norm(m2[4:-4] - m[4:-4]) / np.linalg.norm(m[4:-4]))
+
+    cp, cx = consistency(out_p), consistency(out_x)
+    assert abs(cp - cx) < 0.02, (cp, cx)
+    assert out_p.shape == out_x.shape
+
+
+def test_pallas_gl_support_predicate():
+    from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_supported
+
+    assert pallas_gl_supported(CFG, 512)
+    assert not pallas_gl_supported(CFG, 1024)  # VMEM budget
+    odd = AudioConfig(win_length=700, hop_length=200)
+    assert not pallas_gl_supported(odd, 128)

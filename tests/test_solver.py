@@ -209,3 +209,15 @@ def test_train_device_loop(tmp_path, tiny_hps):
     state = sol.train_device(sol.init_state(jax.random.PRNGKey(0)), ds, "pretrain_AE", 5, logger=logger)
     assert int(state.step) == 5
     assert logs and logs[-1][0] == 5
+
+
+def test_stage2_rec_anchor(solver, state0):
+    """beta_rec adds a same-speaker reconstruction anchor to the G loss."""
+    s = Solver(solver.hps.replace(beta_rec=5.0))
+    state = jax.tree.map(jnp.copy, state0)
+    state, m = s.step_patch_g(state, _batch(s.hps, stage2=True))
+    assert np.isfinite(float(m["loss_g"]))
+    # the anchored loss differs from the unanchored one on the same state
+    s0 = Solver(solver.hps)
+    state2, m0 = s0.step_patch_g(jax.tree.map(jnp.copy, state0), _batch(s0.hps, stage2=True))
+    assert float(m["loss_g"]) != float(m0["loss_g"])

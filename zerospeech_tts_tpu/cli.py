@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--device-data", action="store_true",
                        help="stage the train split in device HBM and run "
                             "log_interval steps per dispatch (TPU-native fast path)")
+        p.add_argument("--data-bf16", action="store_true",
+                       help="stage the device-data arena in bfloat16 (halves HBM)")
 
     p = sub.add_parser("convert", help="corpus conversion + unit extraction (ref --test)")
     _common(p)
@@ -207,9 +209,12 @@ def _make_training(args):
     if getattr(args, "device_data", False):
         from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
 
+        import jax.numpy as jnp
+
         loader = DeviceDataset.from_h5(
             args.dataset_path, hps, feat=args.feat,
             target_speakers=args.targets, stats=stats,
+            dtype=jnp.bfloat16 if getattr(args, "data_bf16", False) else jnp.float32,
         )
     else:
         loader = SegmentLoader(

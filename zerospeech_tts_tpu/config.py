@@ -111,6 +111,7 @@ class Hps:
     beta_dis: float = 1.0          # stage-2 D loss weight
     beta_gen: float = 1.0          # stage-2 G adversarial weight
     beta_clf: float = 1.0          # stage-2 aux speaker-CE weight
+    beta_rec: float = 0.0          # stage-2 generator recon anchor (ref "[+ rec anchor]", M)
     lambda_: float = 10.0          # gradient-penalty weight
 
     # iteration schedule (ref solver.train phases)

@@ -107,6 +107,12 @@ class Converter:
         if cached is not None:
             return cached
         hps, acfg = self.hps, self.acfg
+        gl_method = self.stft_method
+        if gl_method is None and jax.default_backend() == "tpu":
+            from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_supported
+
+            if pallas_gl_supported(acfg, n_frames):
+                gl_method = "pallas"  # whole-GL-in-VMEM kernel (1.5x XLA path)
 
         def run(enc_params, dec_params, x, spk, tgt_mean, tgt_std):
             # spk: [n_targets, B] — encode once, decode per target (features
@@ -133,7 +139,7 @@ class Converter:
                 xh = self.decoder.apply(dec_params, z, spk_row).astype(jnp.float32)
                 xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
                 wav = jax.vmap(
-                    lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=self.stft_method)
+                    lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=gl_method)
                 )(xh)
                 return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 

@@ -362,6 +362,10 @@ def griffin_lim(
     same iteration count (the reference runs plain GL; set gl_momentum=0
     for that behavior).
     """
+    if method == "pallas":
+        from zerospeech_tts_tpu.ops.pallas_gl import griffin_lim_pallas
+
+        return griffin_lim_pallas(mag, cfg, n_iters=n_iters)
     method = resolve_method(cfg, method)
     n_iters = cfg.gl_iters if n_iters is None else n_iters
     alpha = cfg.gl_momentum

@@ -319,7 +319,17 @@ class Solver:
             patch_fake, cls_fake = self.discriminator.apply(state.dis, x_fake, train=False)
             l_adv = -patch_fake.mean()
             l_cls = _ce(cls_fake, spk_tgt)
-            return h.beta_gen * l_adv + h.beta_clf * l_cls, (l_adv, l_cls)
+            loss = h.beta_gen * l_adv + h.beta_clf * l_cls
+            if h.beta_rec > 0:
+                # reconstruction anchor: same-speaker decode must still fit
+                # the source (keeps the generator from drifting off-content)
+                spk_src = batch["spk"]
+                x_rec = self.decoder.apply(
+                    dec_params, z, spk_src, train=True,
+                    rngs={"dropout": jax.random.fold_in(k, 8)},
+                )
+                loss = loss + h.beta_rec * jnp.abs(x_rec - x_src).mean()
+            return loss, (l_adv, l_cls)
 
         (l_g, (l_adv, l_cls)), g = jax.value_and_grad(g_loss, has_aux=True)(state.dec)
         u, opt_dec = self.tx.update(g, state.opt_dec, state.dec)
