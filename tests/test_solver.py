@@ -79,21 +79,22 @@ def test_stage1_train_step(solver, state0):
 
 
 def test_alpha_annealing(solver):
-    """alpha ramps over lat_sched_iters RELATIVE to the start of the
-    'train' phase (after the two pretrain phases), so the warm-up actually
-    happens at the first adversarial steps."""
+    """alpha ramps over lat_sched_iters relative to the RECORDED start of
+    the 'train' phase (TrainState.train_start), independent of how long
+    the pretrain phases actually ran."""
     h = solver.hps
-    start = h.enc_pretrain_iters + h.dis_pretrain_iters
-    # still zero anywhere inside the pretrain phases
-    assert float(solver._alpha(jnp.asarray(start - 1, jnp.int32))) == 0.0
-    assert float(solver._alpha(jnp.asarray(5, jnp.int32))) == 0.0
-    # mid-ramp
+    start = 777  # arbitrary recorded phase start
+    ts = jnp.asarray(start, jnp.int32)
+    assert float(solver._alpha(jnp.asarray(start, jnp.int32), ts)) == 0.0
     mid = start + h.lat_sched_iters // 2
-    a = float(solver._alpha(jnp.asarray(mid, jnp.int32)))
+    a = float(solver._alpha(jnp.asarray(mid, jnp.int32), ts))
     assert 0 < a < h.alpha_enc
-    # saturated
     full = start + h.lat_sched_iters + 10
-    assert float(solver._alpha(jnp.asarray(full, jnp.int32))) == pytest.approx(h.alpha_enc)
+    assert float(solver._alpha(jnp.asarray(full, jnp.int32), ts)) == pytest.approx(h.alpha_enc)
+    # unstamped (-1) behaves as anchor 0
+    assert float(
+        solver._alpha(jnp.asarray(h.lat_sched_iters, jnp.int32), jnp.asarray(-1, jnp.int32))
+    ) == pytest.approx(h.alpha_enc)
 
 
 def test_stage2_patchgan_steps(solver, state0):

@@ -97,9 +97,10 @@ class Hps:
     enc_dp: float = 0.1            # encoder dropout
     dis_dp: float = 0.5            # classifier/discriminator dropout
 
-    # per-speaker feature z-normalization on top of dB norm (SURVEY.md §2;
-    # applied by the loader, inverted with target stats at conversion)
-    speaker_norm: bool = False
+    # per-speaker feature z-normalization on top of dB norm (BASELINE.json
+    # pins this in the reference preprocess; applied by the loader,
+    # inverted with TARGET-speaker stats at conversion)
+    speaker_norm: bool = True
 
     # discretization (ref model.py gumbel_softmax + enc-mode switch)
     enc_mode: str = "binary"       # binary (MBV) | one_hot | continues

@@ -46,6 +46,7 @@ Params = Any
 @flax.struct.dataclass
 class TrainState:
     step: jnp.ndarray
+    train_start: jnp.ndarray  # global step at which the 'train' phase began (-1 = not yet)
     rng: jax.Array
     enc: Params
     dec: Params
@@ -93,6 +94,7 @@ class Solver:
         dis = self.discriminator.init(kp, x)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
+            train_start=jnp.full((), -1, jnp.int32),
             rng=kr,
             enc=enc,
             dec=dec,
@@ -115,16 +117,25 @@ class Solver:
         z = discretize(logits, h.enc_mode, h.gumbel_temp, k_gumbel if train else None)
         return z
 
-    def _alpha(self, step):
+    def _alpha(self, step, train_start):
         """Adversarial-weight annealing over lat_sched_iters (ref solver).
 
-        The ramp is relative to the start of the 'train' phase (global step
-        minus the two pretrain phase lengths), so the warm-up the schedule
-        exists for actually happens at the first adversarial steps and is
-        reproducible across resumes."""
+        The ramp is relative to the RECORDED start of the 'train' phase
+        (TrainState.train_start, stamped by the training loops and persisted
+        in checkpoints), so the warm-up happens at the first adversarial
+        steps regardless of how long the pretrain phases actually ran, and
+        is reproducible across resumes."""
         h = self.hps
-        rel = step.astype(jnp.float32) - (h.enc_pretrain_iters + h.dis_pretrain_iters)
+        rel = step.astype(jnp.float32) - jnp.maximum(train_start, 0).astype(jnp.float32)
         return h.alpha_enc * jnp.clip(rel / h.lat_sched_iters, 0.0, 1.0)
+
+    def _stamp_train_start(self, state: TrainState, mode: str) -> TrainState:
+        """Record where the 'train' phase begins (idempotent)."""
+        if mode != "train":
+            return state
+        return state.replace(
+            train_start=jnp.where(state.train_start < 0, state.step, state.train_start)
+        )
 
     # ---------------------------------------------------------- stage 1
 
@@ -186,7 +197,7 @@ class Solver:
         x, spk = batch["x"], batch["spk"]
         h = self.hps
         rng, k = jax.random.split(state.rng)
-        alpha = self._alpha(state.step)
+        alpha = self._alpha(state.step, state.train_start)
 
         # (a) classifier step
         z_sg = jax.lax.stop_gradient(self._encode_latent(state.enc, x, k, train=True))
@@ -370,6 +381,11 @@ class Solver:
         device-resident training.
         """
 
+        if mode == "train":
+            state = state.replace(
+                train_start=jnp.where(state.train_start < 0, state.step, state.train_start)
+            )
+
         def sample(k):
             b = dataset.sample_batch(k)
             if batch_sharding is not None:
@@ -419,6 +435,7 @@ class Solver:
         h = self.hps
         log_interval = log_interval or h.log_interval
         save_interval = save_interval or h.save_interval
+        state = self._stamp_train_start(state, mode)
         done = 0
         next_save = save_interval
         while done < iters:
@@ -471,6 +488,7 @@ class Solver:
                     ckpt.save(state)
             return state
 
+        state = self._stamp_train_start(state, mode)
         step = self.step_fn(mode)
         for i in range(iters):
             state, metrics = step(state, next(data_iter))
