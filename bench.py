@@ -127,17 +127,19 @@ def main():
     # device-resident multi-step path (skipped in --quick to bound runtime)
     train_sps = None
     if not quick:
+        import os
+        import sys as _sys
+        import tempfile
+
+        h5p = None
         try:
             import h5py
-            import os
-            import tempfile
-
-            import jax.numpy as jnp
 
             from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
             from zerospeech_tts_tpu.train import Solver
 
-            h5p = tempfile.mktemp(suffix=".h5")
+            fd, h5p = tempfile.mkstemp(suffix=".h5")
+            os.close(fd)
             with h5py.File(h5p, "w") as f:
                 sp = {}
                 for i in range(8):
@@ -146,7 +148,7 @@ def main():
                     x = rng.uniform(0, 1, (500, hps.n_feat)).astype(np.float32)
                     f.create_dataset(f"train/{spk}/{spk}_0/lin", data=x)
                 f.attrs["speakers"] = json.dumps(sp)
-            ds = DeviceDataset.from_h5(h5p, hps.replace(n_speakers=8))
+            ds = DeviceDataset.from_h5(h5p, hps.replace(n_speakers=8), stats=False)
             sol = Solver(hps.replace(n_speakers=8))
             st = sol.init_state(jax.random.PRNGKey(0))
             st, m = sol.train_many(st, ds, "train", 25)  # compile
@@ -155,9 +157,12 @@ def main():
             st, m = sol.train_many(st, ds, "train", 25)
             _ = float(m["loss_rec"])
             train_sps = round(25 / (time.perf_counter() - t0), 1)
-            os.unlink(h5p)
-        except Exception:
+        except Exception as e:  # keep the headline metric alive, but say why
+            print(f"train-throughput bench failed: {e!r}", file=_sys.stderr)
             train_sps = None
+        finally:
+            if h5p and os.path.exists(h5p):
+                os.unlink(h5p)
 
     print(
         json.dumps(

@@ -113,9 +113,7 @@ def main():
         from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
 
         stats = SpeakerStats.load(work / "ds.h5", "lin")
-    ds = DeviceDataset.from_h5(
-        work / "ds.h5", hps, target_speakers=["V001", "V002"], stats=stats
-    )
+    ds = DeviceDataset.from_h5(work / "ds.h5", hps, target_speakers=["V001", "V002"])
     sol = Solver(hps)
     state = sol.init_state(jax.random.PRNGKey(0))
 
@@ -149,13 +147,13 @@ def main():
     conv = Converter(hps, acfg, state.enc, state.dec, gl_iters=40, batch_size=4, stats=stats)
     import h5py
 
-    feats, names = [], []
+    feats, names, src_spks = [], [], []
     with h5py.File(work / "ds.h5", "r") as f:
         for spk in f["test"]:
             for utt in f["test"][spk]:
                 feats.append(f[f"test/{spk}/{utt}/lin"][:])
                 names.append(utt)
-    src_spks = [n.split("_")[0] for n in names]
+                src_spks.append(spk)
     units, wavs = conv.convert_features_multi(feats, [manifest["speakers"]["V001"],
                                                       manifest["speakers"]["V002"]],
                                               tgt_names=["V001", "V002"],

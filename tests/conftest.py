@@ -30,6 +30,7 @@ def audio_cfg() -> AudioConfig:
 def tiny_hps() -> Hps:
     """Small geometry for fast CPU tests."""
     return Hps(
+        speaker_norm=False,  # tests build raw h5s without stats groups
         batch_size=4,
         seg_len=32,
         n_feat=64,

@@ -207,13 +207,13 @@ def _make_training(args):
 
         stats = SpeakerStats.load(args.dataset_path, args.feat)
     if getattr(args, "device_data", False):
-        from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
-
         import jax.numpy as jnp
+
+        from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
 
         loader = DeviceDataset.from_h5(
             args.dataset_path, hps, feat=args.feat,
-            target_speakers=args.targets, stats=stats,
+            target_speakers=args.targets,  # stats auto-loaded per hps.speaker_norm
             dtype=jnp.bfloat16 if getattr(args, "data_bf16", False) else jnp.float32,
         )
     else:
@@ -226,7 +226,7 @@ def _make_training(args):
             sharding=sharding,
             seed=hps.seed,
         )
-    ckpt = CheckpointManager(args.ckpt_dir)
+    ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
     logger = Logger(args.log_dir or (Path(args.ckpt_dir) / "logs"))
     return jax, hps, mesh, solver, loader, ckpt, logger
 
@@ -328,7 +328,7 @@ def _load_converter(args, hps, acfg):
     from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
     solver = Solver(hps)
-    ckpt = CheckpointManager(args.ckpt_dir)
+    ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
     state = _restore(solver, ckpt)
     ckpt.close()
     stats = None
@@ -396,15 +396,16 @@ def cmd_eval(args):
     report = {}
     if args.units:
         frame_seconds = acfg.hop_length * hps.downsample / acfg.sr
-        report["bitrate"] = ev.unit_bitrate(args.units, frame_seconds)
-        report["units"] = ev.unit_stats(args.units)
+        unit_arrays = ev.load_unit_files(args.units)
+        report["bitrate"] = ev.unit_bitrate(args.units, frame_seconds, units=unit_arrays)
+        report["units"] = ev.unit_stats(args.units, units=unit_arrays)
     if args.recon:
         if not (args.dataset_path and args.ckpt_dir):
             sys.exit("--recon needs -dataset_path and -ckpt_dir")
         from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
         solver = Solver(hps)
-        ckpt = CheckpointManager(args.ckpt_dir)
+        ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
         state = _restore(solver, ckpt)
         ckpt.close()
         report["reconstruction"] = ev.reconstruction_l1(

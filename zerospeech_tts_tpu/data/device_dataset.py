@@ -55,9 +55,16 @@ class DeviceDataset:
         split: str = "train",
         target_speakers: list[str] | None = None,
         dtype=jnp.float32,
-        stats=None,
+        stats=None,  # None -> auto-load when hps.speaker_norm; False -> disable
     ) -> "DeviceDataset":
         import json
+
+        if stats is None and hps.speaker_norm:
+            from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+            stats = SpeakerStats.load(h5_path, feat)
+        if stats is False:
+            stats = None
 
         chunks, starts, lens, spks, real = [], [], [], [], []
         pos = 0

@@ -21,21 +21,25 @@ from pathlib import Path
 import numpy as np
 
 
-def unit_bitrate(units_dir: str | Path, frame_seconds: float) -> dict:
-    """Official-style bitrate over all unit files in a directory.
-
-    frame_seconds: duration of one latent frame (hop * downsample / sr;
-    0.1 s for the default 200-hop x8-downsample 16 kHz config).
-    """
+def load_unit_files(units_dir: str | Path) -> list[np.ndarray]:
     from zerospeech_tts_tpu.convert import read_units
 
     files = sorted(Path(units_dir).glob("*.txt"))
     if not files:
         raise ValueError(f"no unit files in {units_dir}")
+    return [read_units(fp) for fp in files]
+
+
+def unit_bitrate(units_dir: str | Path, frame_seconds: float, units=None) -> dict:
+    """Official-style bitrate over all unit files in a directory.
+
+    frame_seconds: duration of one latent frame (hop * downsample / sr;
+    0.1 s for the default 200-hop x8-downsample 16 kHz config).
+    """
+    units = units if units is not None else load_unit_files(units_dir)
     counts: Counter = Counter()
     n_frames = 0
-    for fp in files:
-        u = read_units(fp)
+    for u in units:
         n_frames += u.shape[0]
         for row in u:
             counts[row.tobytes()] += 1
@@ -43,7 +47,7 @@ def unit_bitrate(units_dir: str | Path, frame_seconds: float) -> dict:
     entropy = -sum((c / total) * math.log2(c / total) for c in counts.values())
     duration = n_frames * frame_seconds
     return {
-        "n_utterances": len(files),
+        "n_utterances": len(units),
         "n_frames": n_frames,
         "n_symbols": len(counts),
         "symbol_entropy_bits": round(entropy, 4),
@@ -52,11 +56,9 @@ def unit_bitrate(units_dir: str | Path, frame_seconds: float) -> dict:
     }
 
 
-def unit_stats(units_dir: str | Path) -> dict:
+def unit_stats(units_dir: str | Path, units=None) -> dict:
     """Collapse diagnostics over dumped units."""
-    from zerospeech_tts_tpu.convert import read_units
-
-    rows = [read_units(fp) for fp in sorted(Path(units_dir).glob("*.txt"))]
+    rows = units if units is not None else load_unit_files(units_dir)
     u = np.concatenate(rows, axis=0)
     per_dim = u.mean(axis=0)
     return {
@@ -81,6 +83,11 @@ def reconstruction_l1(
 
     from zerospeech_tts_tpu.models import discretize
 
+    stats = None
+    if hps.speaker_norm:
+        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+        stats = SpeakerStats.load(dataset_path, feat)
     rng = np.random.default_rng(seed)
     segs, spks = [], []
     with h5py.File(dataset_path, "r") as f:
@@ -96,7 +103,10 @@ def reconstruction_l1(
         for i in rng.integers(0, len(pool), n_segments):
             spk, utt, t = pool[i]
             t0 = int(rng.integers(0, t - hps.seg_len + 1))
-            segs.append(f[f"{split}/{spk}/{utt}/{feat}"][t0 : t0 + hps.seg_len])
+            seg = f[f"{split}/{spk}/{utt}/{feat}"][t0 : t0 + hps.seg_len]
+            if stats is not None:
+                seg = stats.normalize(seg, spk)  # the model's training space
+            segs.append(seg)
             spks.append(speakers[spk])
 
     x = jnp.asarray(np.stack(segs))

@@ -381,10 +381,7 @@ class Solver:
         device-resident training.
         """
 
-        if mode == "train":
-            state = state.replace(
-                train_start=jnp.where(state.train_start < 0, state.step, state.train_start)
-            )
+        state = self._stamp_train_start(state, mode)
 
         def sample(k):
             b = dataset.sample_batch(k)
