@@ -112,3 +112,23 @@ def test_loader_prefetch_propagates_errors(corpus, tmp_path):
     with SegmentLoader(corpus[1], idx, hps, prefetch=2) as dl:
         with pytest.raises(ValueError, match="n_feat"):
             next(iter(dl))
+
+
+def test_pair_grid_snapping_and_loader_dt(corpus, tmp_path):
+    """pair_grid snaps t1-t0 to the downsample grid; the loader surfaces
+    the offset as pair_dt alongside x2."""
+    root, h5, manifest = corpus
+    hps = Hps(
+        batch_size=4, seg_len=32, n_feat=ACFG.n_freq, n_speakers=len(manifest["speakers"])
+    )
+    idx = tmp_path / "index.json"
+    entries = make_segment_index(h5, idx, hps.seg_len, 200, seed=3, pair_grid=8)
+    dts = [e["t1"] - e["t0"] for e in entries]
+    assert all(d % 8 == 0 for d in dts)
+    assert any(d != 0 for d in dts)
+    assert all(abs(d) <= hps.seg_len for d in dts)
+
+    with SegmentLoader(h5, idx, hps, feat="lin", prefetch=0, pairs=True) as dl:
+        b = next(iter(dl))
+        assert b["pair_dt"].shape == (4,) and b["pair_dt"].dtype == np.int32
+        assert (np.abs(b["pair_dt"]) <= hps.seg_len).all()

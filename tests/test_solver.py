@@ -222,3 +222,111 @@ def test_stage2_rec_anchor(solver, state0):
     s0 = Solver(solver.hps)
     state2, m0 = s0.step_patch_g(jax.tree.map(jnp.copy, state0), _batch(s0.hps, stage2=True))
     assert float(m["loss_g"]) != float(m0["loss_g"])
+
+
+def test_pair_consistency_alignment(solver):
+    """Latent sequences offset by pair_dt must align exactly on the overlap
+    (zero loss for a shifted copy), positive for unrelated content."""
+    h = solver.hps
+    rng = np.random.default_rng(0)
+    n, e, ds = 8, 16, h.downsample
+    base = rng.standard_normal((1, n + 4, e)).astype(np.float32)
+    z = jnp.asarray(base[:, :n])
+    z2 = jnp.asarray(base[:, 2 : 2 + n])  # pair window starts 2 latent frames later
+    dt = jnp.asarray([2 * ds], jnp.int32)
+    assert float(solver._pair_consistency(z, z2, dt)) == pytest.approx(0.0, abs=1e-6)
+    # negative offset
+    assert float(
+        solver._pair_consistency(z2, z, jnp.asarray([-2 * ds], jnp.int32))
+    ) == pytest.approx(0.0, abs=1e-6)
+    # unrelated content -> positive
+    z2bad = jnp.asarray(rng.standard_normal((1, n, e)).astype(np.float32))
+    assert float(solver._pair_consistency(z, z2bad, dt)) > 0.01
+    # zero overlap (|dt| == seg_len) contributes nothing, stays finite
+    far = jnp.asarray([n * ds], jnp.int32)
+    assert float(solver._pair_consistency(z, z2bad, far)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_pair_objective_changes_loss(solver, _state_master):
+    """The x2 term is consumed by stage-1 steps: loss_pair is reported,
+    scores an unrelated pair higher than an identical pair, and vanishes
+    when lambda_pair=0 or the fields are absent."""
+    h = solver.hps
+    b = _batch(h)
+    b_same = dict(b, x2=b["x"], pair_dt=jnp.zeros((h.batch_size,), jnp.int32))
+    b_rand = dict(
+        b_same,
+        x2=jnp.asarray(
+            np.random.default_rng(9).standard_normal(np.asarray(b["x"]).shape), jnp.float32
+        ),
+    )
+
+    fresh = lambda: jax.tree.map(jnp.copy, _state_master)  # noqa: E731
+    _, m_same = solver.step_pretrain_ae(fresh(), dict(b_same))
+    assert np.isfinite(float(m_same["loss_pair"]))
+
+    # identical pair < unrelated pair needs deterministic latents (binary
+    # ST-Gumbel at random init flips ~half the bits regardless of input):
+    # continues mode + no dropout makes z a pure function of x
+    s_det = Solver(h.replace(enc_mode="continues", enc_dp=0.0))
+    det0 = s_det.init_state(jax.random.PRNGKey(0))
+    _, m_det_same = s_det.step_pretrain_ae(jax.tree.map(jnp.copy, det0), dict(b_same))
+    _, m_det_rand = s_det.step_pretrain_ae(jax.tree.map(jnp.copy, det0), dict(b_rand))
+    assert float(m_det_same["loss_pair"]) == pytest.approx(0.0, abs=1e-6)
+    assert float(m_det_rand["loss_pair"]) > 0.01
+
+    _, m_tr = solver.step_train(fresh(), dict(b_same))
+    assert "loss_pair" in m_tr and np.isfinite(float(m_tr["loss_pair"]))
+
+    # no pair fields -> no pair metric (and a distinct, pair-free trace)
+    _, m_plain = solver.step_pretrain_ae(fresh(), dict(b))
+    assert "loss_pair" not in m_plain
+
+    # lambda_pair=0 disables the term even with the fields present
+    s0 = Solver(h.replace(lambda_pair=0.0))
+    _, m_off = s0.step_pretrain_ae(s0.init_state(jax.random.PRNGKey(0)), dict(b_same))
+    assert "loss_pair" not in m_off
+
+
+def test_pair_objective_moves_encoder(solver, _state_master):
+    """Gradients actually flow from the pair term into the encoder: one
+    step on identical batches with/without the term yields different
+    encoder params."""
+    h = solver.hps
+    b = _batch(h, seed=4)
+    b_pair = dict(
+        b,
+        x2=jnp.asarray(np.random.default_rng(5).standard_normal(np.asarray(b["x"]).shape), jnp.float32),
+        pair_dt=jnp.zeros((h.batch_size,), jnp.int32),
+    )
+    s_off = Solver(h.replace(lambda_pair=0.0))
+    st_a, _ = solver.step_pretrain_ae(jax.tree.map(jnp.copy, _state_master), dict(b_pair))
+    st_b, _ = s_off.step_pretrain_ae(jax.tree.map(jnp.copy, _state_master), dict(b_pair))
+    la, lb = jax.tree.leaves(st_a.enc), jax.tree.leaves(st_b.enc)
+    assert any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb))
+
+
+def test_device_dataset_emits_pairs(tmp_path, tiny_hps):
+    """sample_batch carries x2 + pair_dt: offsets on the downsample grid,
+    |dt| <= seg_len, and x2 really is the same utterance shifted by dt
+    (frame-index features make the shift directly observable)."""
+    import h5py
+    import json as _json
+
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+    h = tiny_hps.replace(batch_size=16, seg_len=16)
+    p = tmp_path / "ds.h5"
+    with h5py.File(p, "w") as f:
+        t = 120
+        arr = np.tile(np.arange(t, dtype=np.float32)[:, None], (1, h.n_feat))
+        f.create_dataset("train/A1/A1_0/lin", data=arr)
+        f.attrs["speakers"] = _json.dumps({"A1": 0})
+    ds = DeviceDataset.from_h5(p, h, feat="lin", stats=False)
+    b = ds.sample_batch(jax.random.PRNGKey(3))
+    x, x2 = np.asarray(b["x"]), np.asarray(b["x2"])
+    dt = np.asarray(b["pair_dt"])
+    assert (dt % h.downsample == 0).all()
+    assert (np.abs(dt) <= h.seg_len).all()
+    assert (dt != 0).any()  # offsets actually vary
+    np.testing.assert_allclose(x2[:, 0, 0] - x[:, 0, 0], dt)

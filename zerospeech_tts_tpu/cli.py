@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "log_interval steps per dispatch (TPU-native fast path)")
         p.add_argument("--data-bf16", action="store_true",
                        help="stage the device-data arena in bfloat16 (halves HBM)")
+        p.add_argument("--no-pairs", action="store_true",
+                       help="drop the same-utterance pair fields from stage-1 "
+                            "batches (disables the hps.lambda_pair objective)")
 
     p = sub.add_parser("convert", help="corpus conversion + unit extraction (ref --test)")
     _common(p)
@@ -181,7 +184,8 @@ def cmd_preprocess(args):
     )
     print(f"corpus: {manifest['counts']} speakers={len(manifest['speakers'])}")
     entries = make_segment_index(
-        args.dataset_path, args.index_path, hps.seg_len, args.n_samples, seed=hps.seed
+        args.dataset_path, args.index_path, hps.seg_len, args.n_samples, seed=hps.seed,
+        pair_grid=hps.downsample,  # latent-aligned pair offsets (solver pair term)
     )
     print(f"index: {len(entries)} segments -> {args.index_path}")
     print(f"preprocess done in {time.time() - t0:.1f}s")
@@ -225,6 +229,9 @@ def _make_training(args):
             target_speakers=args.targets,
             sharding=sharding,
             seed=hps.seed,
+            # stage-1 consumes the reference's same-utterance pair (x2);
+            # stage-2 batches don't need it
+            pairs=(args.cmd == "train1") and not getattr(args, "no_pairs", False),
         )
     ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
     logger = Logger(args.log_dir or (Path(args.ckpt_dir) / "logs"))

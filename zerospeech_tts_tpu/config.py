@@ -108,6 +108,10 @@ class Hps:
 
     # loss weights (ref solver.py; lambda_ = WGAN-GP weight)
     alpha_enc: float = 0.01        # adversarial weight on encoder
+    lambda_pair: float = 0.1       # same-utterance pair unit-consistency
+                                   # weight (ref dataloader.py:~1-150 pair
+                                   # contract; exact ref objective unknown —
+                                   # see Solver._pair_consistency). 0 = off.
     alpha_dis: float = 1.0         # classifier CE weight
     beta_dis: float = 1.0          # stage-2 D loss weight
     beta_gen: float = 1.0          # stage-2 G adversarial weight

@@ -106,10 +106,18 @@ class DeviceDataset:
 
     # ------------------------------------------------------- jit-side sampling
 
+    def _gather(self, starts: jnp.ndarray) -> jnp.ndarray:
+        seg = self.hps.seg_len
+
+        def one(s):
+            return jax.lax.dynamic_slice(self.arena, (s, 0), (seg, self.arena.shape[1]))
+
+        return jax.vmap(one)(starts).astype(jnp.float32)
+
     def _sample_from(self, rng: jax.Array, batch: int, weights: jnp.ndarray):
-        """Sample (x [B, seg, F], spk [B]) with utterances drawn ∝ weights *
-        n_valid_positions (the distribution of the reference's segment
-        index)."""
+        """Sample (x [B, seg, F], spk [B], idx, t0) with utterances drawn ∝
+        weights * n_valid_positions (the distribution of the reference's
+        segment index)."""
         seg = self.hps.seg_len
         n_pos = jnp.maximum(self.lens - seg + 1, 0).astype(jnp.float32)
         w = n_pos * weights
@@ -117,19 +125,33 @@ class DeviceDataset:
         idx = jax.random.categorical(k1, jnp.log(w + 1e-30), shape=(batch,))
         u = jax.random.uniform(k2, (batch,))
         t0 = (u * n_pos[idx]).astype(jnp.int32)
-        starts = self.starts[idx] + t0
-
-        def gather(s):
-            return jax.lax.dynamic_slice(self.arena, (s, 0), (seg, self.arena.shape[1]))
-
-        x = jax.vmap(gather)(starts).astype(jnp.float32)
-        return x, self.spk[idx]
+        x = self._gather(self.starts[idx] + t0)
+        return x, self.spk[idx], idx, t0
 
     def sample_batch(self, rng: jax.Array, batch: int | None = None) -> dict:
-        """Traceable batch sampler: stage-1 fields + stage-2 reals."""
-        batch = batch or self.hps.batch_size
-        k1, k2 = jax.random.split(rng)
+        """Traceable batch sampler: stage-1 fields (incl. the reference's
+        same-utterance pair x2 + its frame offset pair_dt, snapped to the
+        hps.downsample grid so latent frames align) + stage-2 reals. Unused
+        fields cost nothing — XLA dead-code-eliminates their gathers."""
+        h = self.hps
+        batch = batch or h.batch_size
+        k1, k2, k3 = jax.random.split(rng, 3)
         ones = jnp.ones_like(self.lens, jnp.float32)
-        x, spk = self._sample_from(k1, batch, ones)
-        x_real, spk_real = self._sample_from(k2, batch, self.real_mask.astype(jnp.float32))
-        return {"x": x, "spk": spk, "x_real": x_real, "spk_real": spk_real}
+        x, spk, idx, t0 = self._sample_from(k1, batch, ones)
+        x_real, spk_real, _, _ = self._sample_from(k2, batch, self.real_mask.astype(jnp.float32))
+
+        # same-utterance pair: offset uniform on the downsample grid within
+        # ±seg_len, clamped (on-grid) to the utterance's valid positions
+        ds = h.downsample
+        n_pos_i = jnp.maximum(self.lens[idx] - h.seg_len + 1, 1)
+        d_raw = ds * jax.random.randint(k3, (batch,), -(h.seg_len // ds), h.seg_len // ds + 1)
+        d = jnp.clip(d_raw, -(t0 // ds) * ds, ((n_pos_i - 1 - t0) // ds) * ds)
+        x2 = self._gather(self.starts[idx] + t0 + d)
+        return {
+            "x": x,
+            "spk": spk,
+            "x2": x2,
+            "pair_dt": d.astype(jnp.int32),
+            "x_real": x_real,
+            "spk_real": spk_real,
+        }

@@ -112,10 +112,13 @@ class SegmentLoader:
             "x_real": x_real.astype(np.float32),
             "spk_real": spk_real,
         }
-        if self.pairs:  # reference same-utterance pair contract, opt-in
+        if self.pairs:  # reference same-utterance pair contract
             batch["x2"] = np.stack(
                 [self._segment(self.entries[i], "t1") for i in idx]
             ).astype(np.float32)
+            batch["pair_dt"] = np.array(
+                [self.entries[i]["t1"] - self.entries[i]["t0"] for i in idx], np.int32
+            )
         if self.sharding is not None:
             batch = jax.device_put(batch, self.sharding)
         return batch

@@ -24,11 +24,14 @@ def make_segment_index(
     split: str = "train",
     seed: int = 0,
     pair_offset_max: int | None = None,
+    pair_grid: int = 1,
 ) -> list[dict]:
     """Sample n_samples segments uniformly over utterances long enough for a
     (segment, paired-segment) draw. Each entry carries the same-utterance
     pair offset t1 used by stage-1 (ref dataloader returns same-utterance
-    segment pairs)."""
+    segment pairs). ``pair_grid`` snaps t1 - t0 to a multiple (pass
+    hps.downsample so the pair's LATENT frames align exactly on the overlap
+    — required by the solver's unit-consistency objective)."""
     rng = np.random.default_rng(seed)
     pair_offset_max = pair_offset_max if pair_offset_max is not None else seg_len
 
@@ -51,7 +54,9 @@ def make_segment_index(
         t0 = int(rng.integers(0, t - seg_len + 1))
         lo = max(0, t0 - pair_offset_max)
         hi = min(t - seg_len, t0 + pair_offset_max)
-        t1 = int(rng.integers(lo, hi + 1))
+        dmin = -((t0 - lo) // pair_grid)
+        dmax = (hi - t0) // pair_grid
+        t1 = t0 + pair_grid * int(rng.integers(dmin, dmax + 1))
         entries.append({"speaker": spk, "utt": utt, "t0": t0, "t1": t1})
 
     Path(index_path).parent.mkdir(parents=True, exist_ok=True)

@@ -137,22 +137,61 @@ class Solver:
             train_start=jnp.where(state.train_start < 0, state.step, state.train_start)
         )
 
+    def _pair_consistency(self, z, z2, pair_dt):
+        """Same-utterance pair objective (ref dataloader.py:~1-150 returns
+        same-utterance segment pairs for stage-1; SURVEY.md §2 "Data loader",
+        grade H on the pair's existence, the consumed objective itself is
+        reconstructed — the reference mount was empty at survey time).
+
+        Chosen form: unit consistency on the overlap. The pair segment is
+        offset by pair_dt frames, a multiple of hps.downsample, so the two
+        latent sequences align exactly where the windows overlap; L1 between
+        the aligned (straight-through) latents pushes the encoder toward
+        stable, content-grounded units — the property the challenge's
+        low-bitrate metric rewards. Masked mean over the overlap (pairs with
+        zero overlap contribute nothing)."""
+        n = z.shape[1]
+        d = pair_dt // self.hps.downsample  # [B] latent-frame offset
+        t = jnp.arange(n)[None, :]
+        ia = jnp.clip(t + jnp.maximum(d, 0)[:, None], 0, n - 1)
+        ib = jnp.clip(t + jnp.maximum(-d, 0)[:, None], 0, n - 1)
+        za = jnp.take_along_axis(z, ia[..., None], axis=1)
+        zb = jnp.take_along_axis(z2, ib[..., None], axis=1)
+        valid = (t < (n - jnp.abs(d))[:, None]).astype(z.dtype)  # [B, n]
+        num = (jnp.abs(za - zb) * valid[..., None]).sum()
+        return num / (valid.sum() * z.shape[-1] + 1e-8)
+
+    def _has_pair(self, batch) -> bool:
+        """Static (trace-time) switch for the pair term."""
+        return self.hps.lambda_pair > 0 and "x2" in batch and "pair_dt" in batch
+
     # ---------------------------------------------------------- stage 1
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def step_pretrain_ae(self, state: TrainState, batch):
-        """pretrain_AE: reconstruction-only warmup of Encoder+Decoder."""
+        """pretrain_AE: reconstruction-only warmup of Encoder+Decoder
+        (+ the same-utterance pair unit-consistency term when the batch
+        carries the pair fields)."""
         x, spk = batch["x"], batch["spk"]
+        h = self.hps
         rng, k = jax.random.split(state.rng)
+        has_pair = self._has_pair(batch)
 
         def loss_fn(enc_params, dec_params):
             z = self._encode_latent(enc_params, x, k, train=True)
             xh = self.decoder.apply(
                 dec_params, z, spk, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
             )
-            return jnp.abs(xh - x).mean()
+            l_rec = jnp.abs(xh - x).mean()
+            if not has_pair:
+                return l_rec, (l_rec, 0.0)
+            z2 = self._encode_latent(enc_params, batch["x2"], jax.random.fold_in(k, 12), train=True)
+            l_pair = self._pair_consistency(z, z2, batch["pair_dt"])
+            return l_rec + h.lambda_pair * l_pair, (l_rec, l_pair)
 
-        (l_rec, (g_enc, g_dec)) = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.enc, state.dec)
+        ((_, (l_rec, l_pair)), (g_enc, g_dec)) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.enc, state.dec)
         u_enc, opt_enc = self.tx.update(g_enc, state.opt_enc, state.enc)
         u_dec, opt_dec = self.tx.update(g_dec, state.opt_dec, state.dec)
         state = state.replace(
@@ -163,7 +202,10 @@ class Solver:
             opt_enc=opt_enc,
             opt_dec=opt_dec,
         )
-        return state, {"loss_rec": l_rec}
+        metrics = {"loss_rec": l_rec}
+        if has_pair:
+            metrics["loss_pair"] = l_pair
+        return state, metrics
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def step_pretrain_clf(self, state: TrainState, batch):
@@ -198,6 +240,7 @@ class Solver:
         h = self.hps
         rng, k = jax.random.split(state.rng)
         alpha = self._alpha(state.step, state.train_start)
+        has_pair = self._has_pair(batch)
 
         # (a) classifier step
         z_sg = jax.lax.stop_gradient(self._encode_latent(state.enc, x, k, train=True))
@@ -221,9 +264,17 @@ class Solver:
             l_rec = jnp.abs(xh - x).mean()
             adv_logits = self.classifier.apply(clf_new, z, train=False)
             l_adv = _ce(adv_logits, spk)  # encoder wants this LARGE
-            return l_rec - alpha * l_adv, (l_rec, l_adv)
+            loss = l_rec - alpha * l_adv
+            l_pair = 0.0
+            if has_pair:
+                z2 = self._encode_latent(
+                    enc_params, batch["x2"], jax.random.fold_in(k, 12), train=True
+                )
+                l_pair = self._pair_consistency(z, z2, batch["pair_dt"])
+                loss = loss + h.lambda_pair * l_pair
+            return loss, (l_rec, l_adv, l_pair)
 
-        (_, (l_rec, l_adv)), (g_enc, g_dec) = jax.value_and_grad(
+        (_, (l_rec, l_adv, l_pair)), (g_enc, g_dec) = jax.value_and_grad(
             ae_loss, argnums=(0, 1), has_aux=True
         )(state.enc, state.dec)
         u_enc, opt_enc = self.tx.update(g_enc, state.opt_enc, state.enc)
@@ -246,6 +297,8 @@ class Solver:
             "acc_clf": _acc(clf_logits, spk),
             "alpha": alpha,
         }
+        if has_pair:
+            metrics["loss_pair"] = l_pair
         return state, metrics
 
     # ---------------------------------------------------------- stage 2
