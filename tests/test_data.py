@@ -132,3 +132,63 @@ def test_pair_grid_snapping_and_loader_dt(corpus, tmp_path):
         b = next(iter(dl))
         assert b["pair_dt"].shape == (4,) and b["pair_dt"].dtype == np.int32
         assert (np.abs(b["pair_dt"]) <= hps.seg_len).all()
+
+
+def test_speaker_id_overflow_rejected(corpus, tmp_path):
+    """Speaker ids >= n_speakers must fail fast: Embed/integer-CE clamp
+    out-of-range ids silently under jit (ADVICE r1)."""
+    root, h5, manifest = corpus
+    hps = Hps(batch_size=2, seg_len=16, n_feat=ACFG.n_freq, n_speakers=2)  # corpus has 4
+    idx = tmp_path / "i.json"
+    make_segment_index(h5, idx, hps.seg_len, 20, seed=0)
+    with pytest.raises(ValueError, match="n_speakers"):
+        SegmentLoader(h5, idx, hps)
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+    with pytest.raises(ValueError, match="n_speakers"):
+        DeviceDataset.from_h5(h5, hps, stats=False)
+
+
+def test_loader_reseed_changes_stream(corpus, tmp_path):
+    """reseed(step) on resume must give a different batch sequence than a
+    fresh position-0 stream (ADVICE r1: no replaying consumed batches)."""
+    root, h5, manifest = corpus
+    hps = Hps(batch_size=4, seg_len=16, n_feat=ACFG.n_freq, n_speakers=4)
+    idx = tmp_path / "i.json"
+    make_segment_index(h5, idx, hps.seg_len, 200, seed=0)
+    with SegmentLoader(h5, idx, hps, prefetch=0) as a, SegmentLoader(
+        h5, idx, hps, prefetch=0
+    ) as b:
+        b.reseed(1234)
+        xa, xb = next(iter(a))["x"], next(iter(b))["x"]
+        assert not np.allclose(xa, xb)
+
+
+def test_converter_requires_speaker_names_with_stats(corpus):
+    """With speaker_norm stats attached, omitting src/tgt names must raise
+    instead of silently using global statistics (ADVICE r1)."""
+    import jax
+
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+    from zerospeech_tts_tpu.train import Solver
+
+    root, h5, manifest = corpus
+    hps = Hps(
+        batch_size=2, seg_len=32, n_feat=ACFG.n_freq, n_speakers=4,
+        emb_size=32, spk_emb_size=8, bank_size=4, bank_channels=8, conv_channels=16,
+    )
+    stats = SpeakerStats.load(h5, "lin")
+    sol = Solver(hps)
+    st = sol.init_state(jax.random.PRNGKey(0))
+    conv = Converter(hps, ACFG, st.enc, st.dec, batch_size=1, bucket_frames=32, stats=stats)
+    feats = [np.random.default_rng(0).uniform(0, 1, (32, ACFG.n_freq)).astype(np.float32)]
+    with pytest.raises(ValueError, match="speaker_norm"):
+        conv.convert_features_multi(feats, [0])
+    with pytest.raises(ValueError, match="speaker_norm"):
+        conv.encode_units(feats)
+    with pytest.raises(ValueError, match="tgt_name"):
+        conv.convert_wav(np.random.default_rng(1).standard_normal(16000).astype(np.float32), 0)
+    # explicit names work
+    u, w = conv.convert_features_multi(feats, [0], tgt_names=["V001"], src_speakers=["S01"])
+    assert u[0].shape[1] == hps.emb_size

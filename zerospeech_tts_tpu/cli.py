@@ -252,6 +252,8 @@ def cmd_train1(args):
         # --load_model kept for reference-CLI compatibility
         state = _restore(solver, ckpt, mesh)
         print(f"resumed from step {int(state.step)}")
+        if hasattr(loader, "reseed"):  # don't replay already-consumed batches
+            loader.reseed(int(state.step))
         # skip the parts of the stage-1 schedule already completed: phases
         # run in order, so the global step locates us inside the schedule
         done = int(state.step)
@@ -306,6 +308,8 @@ def cmd_train2(args):
         sys.exit("train2 requires a stage-1 checkpoint (ref: stage 2 starts from stage-1 weights)")
     state = _restore(solver, ckpt, mesh)
     print(f"stage-2 from step {int(state.step)}")
+    if hasattr(loader, "reseed"):  # don't replay already-consumed batches
+        loader.reseed(int(state.step))
     iters = args.iters_override or hps.patch_iters
     from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
 
@@ -357,10 +361,15 @@ def _load_converter(args, hps, acfg):
     )
 
 
-def _speaker_map(dataset_path):
+def _speaker_map(dataset_path, hps=None):
     from zerospeech_tts_tpu.data.corpus import load_speaker_map
 
-    return load_speaker_map(dataset_path)
+    speakers = load_speaker_map(dataset_path)
+    if hps is not None:
+        from zerospeech_tts_tpu.data.device_dataset import check_speaker_ids
+
+        check_speaker_ids(speakers, hps)
+    return speakers
 
 
 def cmd_convert(args):
@@ -368,7 +377,7 @@ def cmd_convert(args):
     from zerospeech_tts_tpu.convert import convert_corpus
 
     hps, acfg = load_configs(args.hps)
-    speakers = _speaker_map(args.dataset_path)
+    speakers = _speaker_map(args.dataset_path, hps)
     targets = args.target or sorted(s for s in speakers if s.startswith("V"))
     if not targets:
         sys.exit("no target speakers given and none named V* in the corpus")
@@ -429,7 +438,7 @@ def cmd_convert_single(args):
     from zerospeech_tts_tpu.convert import convert_single
 
     hps, acfg = load_configs(args.hps)
-    speakers = _speaker_map(args.dataset_path)
+    speakers = _speaker_map(args.dataset_path, hps)
     if args.target not in speakers:
         sys.exit(f"target {args.target!r} not in corpus speaker map {sorted(speakers)[:10]}...")
     conv = _load_converter(args, hps, acfg)

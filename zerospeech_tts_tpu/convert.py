@@ -170,8 +170,15 @@ class Converter:
         (ref enc_only; the challenge bitrate-only submission path)."""
         n = len(feats_list)
         if self.stats is not None:
-            srcs = src_speakers or ["__global__"] * n
-            feats_list = [self.stats.normalize(f, s) for f, s in zip(feats_list, srcs)]
+            if src_speakers is None:
+                raise ValueError(
+                    "speaker_norm is on (Converter has stats) but src_speakers "
+                    "was not given — units would be computed from features "
+                    "normalized with the WRONG (global) statistics. Pass the "
+                    "source speaker per utterance, or build the Converter with "
+                    "stats=None to opt out."
+                )
+            feats_list = [self.stats.normalize(f, s) for f, s in zip(feats_list, src_speakers)]
         out: list = [None] * n
         buckets: dict[int, list[int]] = {}
         for i in np.argsort([-(f.shape[0]) for f in feats_list], kind="stable"):
@@ -224,9 +231,17 @@ class Converter:
         """
         n = len(feats_list)
         if self.stats is not None:
-            srcs = src_speakers or ["__global__"] * n
-            feats_list = [self.stats.normalize(f, s) for f, s in zip(feats_list, srcs)]
-            t_mean, t_std = self.stats.arrays_for(tgt_names or ["__global__"] * len(spk_ids))
+            if src_speakers is None or tgt_names is None:
+                raise ValueError(
+                    "speaker_norm is on (Converter has stats) but "
+                    f"{'src_speakers' if src_speakers is None else 'tgt_names'} "
+                    "was not given — conversion would (de)normalize with the "
+                    "WRONG (global) statistics. Pass per-utterance source "
+                    "speakers and per-target names, or build the Converter "
+                    "with stats=None to opt out."
+                )
+            feats_list = [self.stats.normalize(f, s) for f, s in zip(feats_list, src_speakers)]
+            t_mean, t_std = self.stats.arrays_for(tgt_names)
         else:
             t_mean = np.zeros((len(spk_ids), self.hps.n_feat), np.float32)
             t_std = np.ones((len(spk_ids), self.hps.n_feat), np.float32)
@@ -283,13 +298,26 @@ class Converter:
         return list(zip(units, wavs[0]))
 
     def convert_wav(self, wav: np.ndarray, spk_id: int, trim: bool = True, tgt_name=None):
-        """Single-utterance VC (ref --test_single, SURVEY.md §3.5)."""
+        """Single-utterance VC (ref --test_single, SURVEY.md §3.5).
+
+        The source wav is arbitrary (speaker unknown), so with speaker_norm
+        on the input is z-scored with the corpus GLOBAL stats — the only
+        well-defined choice for out-of-corpus audio. The target side still
+        needs the real target name for correct denormalization."""
         if trim:
             wav = trim_silence(wav, self.acfg.top_db)
         mel, lin = dsp_audio.get_spectrograms(wav, self.acfg, bucket_frames=self.bucket_frames)
         feats = lin if self.feat == "lin" else mel
+        if self.stats is not None and tgt_name is None:
+            raise ValueError(
+                "speaker_norm is on: convert_wav needs tgt_name to denormalize "
+                "with the target speaker's statistics"
+            )
         units, wavs = self.convert_features_multi(
-            [feats], [spk_id], tgt_names=[tgt_name] if tgt_name else None
+            [feats],
+            [spk_id],
+            tgt_names=[tgt_name] if self.stats is not None else None,
+            src_speakers=["__global__"] if self.stats is not None else None,
         )
         return units[0], wavs[0][0]
 

@@ -29,6 +29,22 @@ import numpy as np
 from zerospeech_tts_tpu.config import Hps
 
 
+def check_speaker_ids(speakers: dict, hps: Hps) -> None:
+    """Fail fast when corpus speaker ids exceed hps.n_speakers: nn.Embed /
+    integer-label CE clamp out-of-range ids SILENTLY under jit, so an
+    undersized table corrupts speaker conditioning and classifier labels
+    without any error (same silent-mismatch class as the n_feat guard)."""
+    if not speakers:
+        return
+    top = max(speakers, key=speakers.get)
+    if speakers[top] >= hps.n_speakers:
+        raise ValueError(
+            f"corpus speaker ids reach {speakers[top]} ({top!r}) but "
+            f"hps.n_speakers={hps.n_speakers} — raise n_speakers to at least "
+            f"{speakers[top] + 1} (out-of-range ids would be clamped silently)"
+        )
+
+
 @jax.tree_util.register_pytree_node_class
 class DeviceDataset:
     def __init__(self, arena, starts, lens, spk, real_mask, hps: Hps):
@@ -70,6 +86,7 @@ class DeviceDataset:
         pos = 0
         with h5py.File(h5_path, "r") as f:
             speakers = json.loads(f.attrs["speakers"])
+            check_speaker_ids(speakers, hps)
             tgt = set(target_speakers or [])
             for spk_name in f[split]:
                 for utt in f[split][spk_name]:

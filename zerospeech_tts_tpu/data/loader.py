@@ -54,6 +54,9 @@ class SegmentLoader:
             raise ValueError(f"empty segment index {index_path}")
         self._f = h5py.File(self.h5_path, "r")
         self.speakers: dict[str, int] = json.loads(self._f.attrs["speakers"])
+        from zerospeech_tts_tpu.data.device_dataset import check_speaker_ids
+
+        check_speaker_ids(self.speakers, hps)
         self._cache: dict[tuple[str, str], np.ndarray] = {}
         self._cache_size = cache_size
         self.stats = None
@@ -69,6 +72,14 @@ class SegmentLoader:
         self._prefetch = prefetch
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+
+    def reseed(self, offset: int) -> None:
+        """Re-key the sampling stream (call with the restored step on
+        resume, so a resumed run continues with fresh batches instead of
+        replaying the already-consumed sequence from position 0)."""
+        self.rng = np.random.default_rng(
+            np.random.SeedSequence([self.hps.seed, int(offset)])
+        )
 
     # ------------------------------------------------------------- access
 
