@@ -271,3 +271,64 @@ def test_10_eval_metrics(pipeline, capsys):
     assert br["n_utterances"] == 2 and br["bitrate_bits_per_second"] > 0
     assert 0 <= rep["units"]["active_fraction"] <= 1
     assert rep["reconstruction"]["recon_l1"] > 0
+
+
+def test_11_convert_from_chosen_step(pipeline):
+    """--load_model STEP converts from a NON-latest checkpoint (ref
+    main.py --load_model model selection)."""
+    from zerospeech_tts_tpu.train import CheckpointManager
+
+    p = pipeline
+    m = CheckpointManager(p["ckpt"])
+    steps = m.all_steps()
+    m.close()
+    assert len(steps) >= 2, steps
+    chosen = steps[0]  # oldest retained step != latest
+    out = p["root"] / f"result_step{chosen}"
+    cli_main(
+        [
+            "convert",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "-result_dir", str(out),
+            "--target", "V001",
+            "--gl-iters", "4",
+            "--batch-size", "2",
+            "--load_model", str(chosen),
+        ]
+    )
+    assert len(sorted((out / "units").glob("*.txt"))) == 2
+    # selecting a bogus step fails loudly with the available list
+    with pytest.raises(FileNotFoundError, match="available"):
+        cli_main(
+            [
+                "convert", "--platform", "cpu", "-hps", str(p["hps"]),
+                "-dataset_path", str(p["ds"]), "-ckpt_dir", str(p["ckpt"]),
+                "-result_dir", str(out), "--target", "V001",
+                "--load_model", "999999",
+            ]
+        )
+
+
+def test_12_train1_from_external_ckpt_dir(pipeline, tmp_path, capsys):
+    """--load_model DIR starts training from a model in ANOTHER checkpoint
+    directory (the reference's load-specific-model use case)."""
+    p = pipeline
+    new_ckpt = tmp_path / "fork"
+    cli_main(
+        [
+            "train1",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-index_path", str(p["idx"]),
+            "-ckpt_dir", str(new_ckpt),
+            "--iters-override", "1",
+            "--load_model", str(p["ckpt"]),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "resumed from step" in out
+    assert any(new_ckpt.iterdir())

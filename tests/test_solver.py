@@ -330,3 +330,79 @@ def test_device_dataset_emits_pairs(tmp_path, tiny_hps):
     assert (np.abs(dt) <= h.seg_len).all()
     assert (dt != 0).any()  # offsets actually vary
     np.testing.assert_allclose(x2[:, 0, 0] - x[:, 0, 0], dt)
+
+
+def test_restore_refuses_wrong_architecture(solver, tmp_path):
+    """A checkpoint from a different architecture must NOT restore into
+    template (random-init) fields — strict by default, and the migration
+    path still checks shapes (VERDICT r1 weak #6)."""
+    state = solver.init_state(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(tmp_path / "ck")
+    ckpt.save(state, wait=True)
+    ckpt.close()
+
+    big = Solver(solver.hps.replace(emb_size=64))
+    tmpl = big.init_state(jax.random.PRNGKey(0))
+    strict = CheckpointManager(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="does not match|refusing"):
+        strict.restore(tmpl)
+    strict.close()
+    migr = CheckpointManager(tmp_path / "ck", allow_migration=True)
+    with pytest.raises(RuntimeError, match="refusing to migrate|does not match"):
+        migr.restore(tmpl)
+    migr.close()
+
+
+def test_restore_schema_migration_opt_in(solver, tmp_path):
+    """A checkpoint missing a newer TrainState field refuses to load by
+    default and back-fills ONLY that field under allow_migration=True."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    state = solver.init_state(jax.random.PRNGKey(0))
+    state, _ = solver.step_pretrain_ae(state, _batch(solver.hps))
+    old = {
+        f.name: getattr(state, f.name)
+        for f in dataclasses.fields(state)
+        if f.name != "train_start"  # simulate a pre-train_start checkpoint
+    }
+    m = CheckpointManager(tmp_path / "ck")
+    m.mgr.save(1, args=ocp.args.StandardSave(old))
+    m.mgr.wait_until_finished()
+    m.close()
+
+    tmpl = solver.init_state(jax.random.PRNGKey(9))
+    strict = CheckpointManager(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="allow-schema-migration"):
+        strict.restore(tmpl)
+    strict.close()
+
+    migr = CheckpointManager(tmp_path / "ck", allow_migration=True)
+    restored = migr.restore(tmpl)
+    migr.close()
+    assert int(restored.step) == 1
+    assert int(restored.train_start) == int(tmpl.train_start)  # back-filled
+    for a, b in zip(jax.tree.leaves(state.enc), jax.tree.leaves(restored.enc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ckpt_dir_refuses_critical_hps_mismatch(solver, tmp_path):
+    """Re-opening a checkpoint dir with different data-space hps raises
+    instead of warning (VERDICT r1 weak #6)."""
+    m = CheckpointManager(tmp_path / "ck", hps=solver.hps)
+    m.close()
+    with pytest.raises(ValueError, match="data-space hps"):
+        CheckpointManager(tmp_path / "ck", hps=solver.hps.replace(n_feat=777))
+    # same hps re-opens fine
+    m2 = CheckpointManager(tmp_path / "ck", hps=solver.hps)
+    m2.close()
+
+
+def test_restore_unknown_step_lists_available(solver, tmp_path):
+    state = solver.init_state(jax.random.PRNGKey(0))
+    m = CheckpointManager(tmp_path / "ck")
+    m.save(state, wait=True)
+    with pytest.raises(FileNotFoundError, match="available"):
+        m.restore(state, step=42)
+    m.close()

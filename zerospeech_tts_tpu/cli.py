@@ -33,6 +33,10 @@ def _common(p: argparse.ArgumentParser):
                    help="capture a jax.profiler trace into DIR (SURVEY.md §5 tracing)")
     p.add_argument("--check-numerics", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf)")
+    p.add_argument("--allow-schema-migration", action="store_true",
+                   help="accept checkpoints written by an older TrainState "
+                        "schema (missing fields filled from init); default "
+                        "is to refuse structure mismatches")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -54,8 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("-index_path", "--index_path", required=True)
         p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
         p.add_argument("--log_dir", default=None)
-        p.add_argument("--load_model", action="store_true",
-                       help="resume from latest ckpt (also automatic; see --fresh)")
+        p.add_argument("--load_model", nargs="?", const="latest", default=None,
+                       metavar="STEP|DIR",
+                       help="resume training: bare = latest ckpt in -ckpt_dir "
+                            "(also automatic; see --fresh); a STEP number or a "
+                            "checkpoint DIR (or DIR/STEP) selects a specific "
+                            "model to start from")
         p.add_argument("--fresh", action="store_true",
                        help="ignore existing checkpoints and start from scratch")
         p.add_argument("--iters-override", type=int, default=None, help="shrink all phases (smoke)")
@@ -87,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "may flip borderline units)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"],
                    help="features the model was trained on")
+    p.add_argument("--load_model", nargs="?", const="latest", default=None,
+                   metavar="STEP|DIR",
+                   help="convert from a specific checkpoint: STEP number, "
+                        "checkpoint DIR, or DIR/STEP (default: latest in "
+                        "-ckpt_dir)")
 
     p = sub.add_parser("eval", help="challenge metrics: unit bitrate, recon L1, unit stats")
     _common(p)
@@ -106,6 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source", required=True, help="source wav path")
     p.add_argument("--target", required=True, help="target speaker name")
     p.add_argument("--gl-iters", type=int, default=None)
+    p.add_argument("--load_model", nargs="?", const="latest", default=None,
+                   metavar="STEP|DIR", help="checkpoint selection (see convert)")
 
     return ap
 
@@ -155,7 +170,7 @@ def _mesh_from_arg(spec: str | None):
     return make_mesh(**axes)
 
 
-def _restore(solver, ckpt, mesh=None):
+def _restore(solver, ckpt, mesh=None, step=None):
     import jax
 
     from zerospeech_tts_tpu.parallel import replicate_state
@@ -163,7 +178,39 @@ def _restore(solver, ckpt, mesh=None):
     template = solver.init_state(jax.random.PRNGKey(solver.hps.seed))
     if mesh is not None:
         template = replicate_state(template, mesh)
-    return ckpt.restore(template)
+    return ckpt.restore(template, step=step)
+
+
+def _load_model_spec(args):
+    """Parse --load_model into (ckpt_dir_override, step).
+
+    The reference flag loads a specific model file; here the value may be
+    a STEP number (restore that step from -ckpt_dir), a checkpoint DIR
+    (restore its latest step), or a step subdirectory like ckpts/12000.
+    Bare --load_model keeps the auto 'latest from -ckpt_dir' behavior."""
+    v = getattr(args, "load_model", None)
+    if v in (None, "latest"):
+        return None, None
+    s = str(v)
+    if s.lstrip("-").isdigit():
+        return None, int(s)
+    p = Path(s)
+    if p.name.isdigit() and (p.parent / p.name).exists():
+        return str(p.parent), int(p.name)  # a step dir inside an orbax tree
+    return s, None
+
+
+def _restore_source(args, hps, default_mgr):
+    """(manager, step) to restore from, honoring --load_model overrides."""
+    dir_ov, step = _load_model_spec(args)
+    if dir_ov is None:
+        return default_mgr, step
+    from zerospeech_tts_tpu.train import CheckpointManager
+
+    mgr = CheckpointManager(
+        dir_ov, hps=hps, allow_migration=getattr(args, "allow_schema_migration", False)
+    )
+    return mgr, step
 
 
 def cmd_preprocess(args):
@@ -233,7 +280,10 @@ def _make_training(args):
             # stage-2 batches don't need it
             pairs=(args.cmd == "train1") and not getattr(args, "no_pairs", False),
         )
-    ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
+    ckpt = CheckpointManager(
+        args.ckpt_dir, hps=hps,
+        allow_migration=getattr(args, "allow_schema_migration", False),
+    )
     logger = Logger(args.log_dir or (Path(args.ckpt_dir) / "logs"))
     return jax, hps, mesh, solver, loader, ckpt, logger
 
@@ -247,10 +297,16 @@ def cmd_train1(args):
         ("pretrain_C", ov or hps.dis_pretrain_iters),
         ("train", ov or hps.iters),
     ]
-    if not args.fresh and ckpt.latest_step() is not None:
+    src_mgr, src_step = _restore_source(args, hps, ckpt)
+    explicit = args.load_model is not None and (src_mgr is not ckpt or src_step is not None)
+    if explicit and args.fresh:
+        sys.exit("--fresh contradicts --load_model STEP|DIR: pick one")
+    if explicit or (not args.fresh and ckpt.latest_step() is not None):
         # auto-resume from the latest step (SURVEY.md §5 failure recovery);
-        # --load_model kept for reference-CLI compatibility
-        state = _restore(solver, ckpt, mesh)
+        # --load_model [STEP|DIR] selects a specific model instead
+        state = _restore(solver, src_mgr, mesh, step=src_step)
+        if src_mgr is not ckpt:
+            src_mgr.close()
         print(f"resumed from step {int(state.step)}")
         if hasattr(loader, "reseed"):  # don't replay already-consumed batches
             loader.reseed(int(state.step))
@@ -304,9 +360,12 @@ def cmd_train1(args):
 def cmd_train2(args):
     _setup_platform(args)
     jax, hps, mesh, solver, loader, ckpt, logger = _make_training(args)
-    if ckpt.latest_step() is None:
+    src_mgr, src_step = _restore_source(args, hps, ckpt)
+    if src_mgr.latest_step() is None:
         sys.exit("train2 requires a stage-1 checkpoint (ref: stage 2 starts from stage-1 weights)")
-    state = _restore(solver, ckpt, mesh)
+    state = _restore(solver, src_mgr, mesh, step=src_step)
+    if src_mgr is not ckpt:
+        src_mgr.close()
     print(f"stage-2 from step {int(state.step)}")
     if hasattr(loader, "reseed"):  # don't replay already-consumed batches
         loader.reseed(int(state.step))
@@ -339,8 +398,14 @@ def _load_converter(args, hps, acfg):
     from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
     solver = Solver(hps)
-    ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
-    state = _restore(solver, ckpt)
+    ckpt = CheckpointManager(
+        args.ckpt_dir, hps=hps,
+        allow_migration=getattr(args, "allow_schema_migration", False),
+    )
+    src_mgr, src_step = _restore_source(args, hps, ckpt)
+    state = _restore(solver, src_mgr, step=src_step)
+    if src_mgr is not ckpt:
+        src_mgr.close()
     ckpt.close()
     stats = None
     if hps.speaker_norm:
@@ -421,7 +486,10 @@ def cmd_eval(args):
         from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
         solver = Solver(hps)
-        ckpt = CheckpointManager(args.ckpt_dir, hps=hps)
+        ckpt = CheckpointManager(
+            args.ckpt_dir, hps=hps,
+            allow_migration=getattr(args, "allow_schema_migration", False),
+        )
         state = _restore(solver, ckpt)
         ckpt.close()
         report["reconstruction"] = ev.reconstruction_l1(

@@ -18,9 +18,24 @@ from zerospeech_tts_tpu.train.solver import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str | Path, max_to_keep: int = 3, hps=None):
+    def __init__(
+        self,
+        ckpt_dir: str | Path,
+        max_to_keep: int = 3,
+        hps=None,
+        allow_migration: bool = False,
+    ):
+        """``allow_migration=False`` (default) makes restore STRICT: a
+        checkpoint whose structure doesn't match the template refuses to
+        load rather than silently back-filling template (random-init)
+        fields — a corrupt or wrong-architecture checkpoint must never
+        restore "successfully". Pass allow_migration=True (CLI
+        ``--allow-schema-migration``) to accept checkpoints written by an
+        older TrainState schema, filling ONLY the fields the checkpoint
+        lacks from the template."""
         self.path = Path(ckpt_dir).absolute()
         self.path.mkdir(parents=True, exist_ok=True)
+        self.allow_migration = allow_migration
         self.mgr = ocp.CheckpointManager(
             self.path,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
@@ -36,7 +51,6 @@ class CheckpointManager:
     def _check_or_write_hps(self, hps) -> None:
         import dataclasses
         import json
-        import warnings
 
         meta_path = self.path / "hps.json"
         current = dataclasses.asdict(hps)
@@ -48,11 +62,12 @@ class CheckpointManager:
                 if saved.get(k) != current.get(k)
             }
             if diffs:
-                warnings.warn(
+                raise ValueError(
                     f"checkpoint dir {self.path} was written with different "
-                    f"data-space hps: {diffs} — restored weights will not "
-                    f"match the current feature space",
-                    stacklevel=3,
+                    f"data-space hps: {diffs} (saved, current) — restored "
+                    f"weights would not match the current feature space. Use "
+                    f"a fresh -ckpt_dir or the hps the checkpoint was trained "
+                    f"with."
                 )
         else:
             meta_path.write_text(json.dumps(current, indent=2) + "\n")
@@ -65,29 +80,62 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self.mgr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        return sorted(self.mgr.all_steps())
+
     def restore(self, template: TrainState, step: int | None = None) -> TrainState:
         """Restore into the structure of ``template`` (from Solver.init_state),
-        preserving shardings. Checkpoints written by an older TrainState
-        schema restore with missing fields filled from the template (schema
-        evolution, e.g. the train_start field added after round-1 ckpts)."""
+        preserving shardings. Structure mismatches raise unless the manager
+        was built with allow_migration=True, in which case fields missing
+        from the checkpoint are filled from the template (schema evolution,
+        e.g. the train_start field added after round-1 ckpts); fields the
+        checkpoint HAS must still load cleanly."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.path}")
+        if step not in self.mgr.all_steps():
+            raise FileNotFoundError(
+                f"step {step} not in {self.path} (available: {self.all_steps()})"
+            )
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         try:
             return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
-        except (ValueError, KeyError):
-            # structure mismatch: restore raw (a nested dict keyed by the
-            # dataclass field names) and fill missing fields from template
+        except (ValueError, KeyError) as e:
+            if not self.allow_migration:
+                raise RuntimeError(
+                    f"checkpoint {self.path} step {step} does not match the "
+                    f"current TrainState structure ({e}). If it was written "
+                    f"by an older schema, pass --allow-schema-migration; a "
+                    f"corrupt or wrong-architecture checkpoint should NOT be "
+                    f"loaded."
+                ) from e
+            # migration: restore raw (a nested dict keyed by the dataclass
+            # field names) and fill only MISSING fields from the template
             import dataclasses
 
             raw = self.mgr.restore(step)
-            fields = {
-                f.name: raw[f.name]
-                if isinstance(raw, dict) and f.name in raw
-                else getattr(template, f.name)
-                for f in dataclasses.fields(template)
-            }
+            if not isinstance(raw, dict):
+                raise RuntimeError(
+                    f"checkpoint {self.path} step {step} is not a TrainState "
+                    f"mapping (got {type(raw).__name__}) — refusing to migrate"
+                ) from e
+            fields = {}
+            for f in dataclasses.fields(template):
+                if f.name in raw:
+                    tleaves = jax.tree.leaves(getattr(template, f.name))
+                    rleaves = jax.tree.leaves(raw[f.name])
+                    if len(tleaves) != len(rleaves) or any(
+                        getattr(t, "shape", None) != getattr(r, "shape", None)
+                        for t, r in zip(tleaves, rleaves)
+                    ):
+                        raise RuntimeError(
+                            f"checkpoint field {f.name!r} does not match the "
+                            f"template structure — wrong architecture, refusing "
+                            f"to migrate"
+                        ) from e
+                    fields[f.name] = raw[f.name]
+                else:
+                    fields[f.name] = getattr(template, f.name)
             return type(template)(**fields)
 
     def close(self) -> None:
