@@ -68,6 +68,35 @@ def test_pallas_gl_support_predicate():
     from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_supported
 
     assert pallas_gl_supported(CFG, 512)
-    assert not pallas_gl_supported(CFG, 1024)  # VMEM budget
+    assert pallas_gl_supported(CFG, 1024)  # v2 signal-domain carry budget
+    assert not pallas_gl_supported(CFG, 1025)
     odd = AudioConfig(win_length=700, hop_length=200)
     assert not pallas_gl_supported(odd, 128)
+
+
+def test_pallas_gl_long_utterance_matches_xla():
+    """>512 frames (the round-1 cap) runs through the tiled kernel and
+    matches the XLA path's magnitude consistency."""
+    from zerospeech_tts_tpu.ops.pallas_gl import griffin_lim_pallas, pallas_gl_supported
+
+    cfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20)
+    t_target = 700
+    n = (t_target - 1) * cfg.hop_length
+    rng = np.random.default_rng(0)
+    y = (0.5 * np.sin(2 * np.pi * 330 * np.arange(n) / 16000)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    re, im = A.stft(jnp.asarray(y), cfg, method="fused")
+    mag = jnp.sqrt(re**2 + im**2)
+    assert mag.shape[0] > 512 and pallas_gl_supported(cfg, mag.shape[0])
+    out_p = np.asarray(griffin_lim_pallas(mag, cfg, n_iters=8, interpret=True))
+    out_x = np.asarray(A.griffin_lim(mag, cfg, n_iters=8))
+    assert out_p.shape == out_x.shape
+
+    def consistency(out):
+        r2, i2 = A.stft(jnp.asarray(out), cfg, method="fused")
+        m2 = np.sqrt(np.asarray(r2) ** 2 + np.asarray(i2) ** 2)
+        m = np.asarray(mag)
+        return float(np.linalg.norm(m2[4:-4] - m[4:-4]) / np.linalg.norm(m[4:-4]))
+
+    cp, cx = consistency(out_p), consistency(out_x)
+    assert abs(cp - cx) < 0.02, (cp, cx)
