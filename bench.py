@@ -100,28 +100,48 @@ def main():
     dec_params = dec.init(
         k, np.zeros((1, hps.n_bins, hps.emb_size), np.float32), np.zeros((1,), np.int32)
     )
+    # bench configuration = the deployment configuration: bf16 matmuls +
+    # uint8 feature wire (conversion on this host is wire-bound); fidelity
+    # vs the f32/bf16-wire path is recorded below as units_agreement.
     conv = Converter(
-        hps, acfg, enc_params, dec_params, gl_iters=gl_iters, batch_size=min(8, n_utts)
+        hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
+        batch_size=min(8, n_utts), compute_dtype="bfloat16", wire="uint8",
     )
 
-    # warmup (compile)
+    # warmup (compile), then MEDIAN of n_passes timed passes — a single
+    # tunnel hiccup must not torpedo the recorded artifact (VERDICT r1)
+    n_passes = 1 if quick else 3
     conv.convert_features(feats[:1], 0)
-    # timed TPU/accelerator path
-    t0 = time.perf_counter()
-    results = conv.convert_features(feats, 0)
-    dt = time.perf_counter() - t0
+    times = []
+    for p in range(n_passes):
+        t0 = time.perf_counter()
+        results = conv.convert_features(feats, 0)
+        times.append(time.perf_counter() - t0)
+        print(f"pass {p}: {n_utts / times[-1]:.1f} utt/s", file=sys.stderr)
+    dt = float(np.median(times))
     utt_per_sec = n_utts / dt
     audio_seconds = sum(len(w) for _, w in results) / sr
     rtf = audio_seconds / dt  # >1 means faster than realtime
 
-    # reference CPU path on the same magnitudes (GL dominates; measure 2 utts)
-    n_ref = 1 if quick else 2
+    # fidelity evidence for the bench configuration: units vs the f32 path
+    conv_f32 = Converter(
+        hps, acfg, enc_params, dec_params, gl_iters=2, batch_size=min(8, n_utts)
+    )
+    u_fast = [u for u, _ in results]
+    u_ref = [u for u, _ in conv_f32.convert_features(feats, 0)]
+    units_agreement = float(np.mean([(a == b).mean() for a, b in zip(u_fast, u_ref)]))
+
+    # reference CPU path on the same magnitudes (GL dominates): median of
+    # n_passes single-utterance reps — the baseline jitters with host load
+    # as much as the TPU side does with tunnel load
     mag_amp = np.power(10.0, (np.clip(feats[0], 0, 1) * acfg.max_db - acfg.max_db + acfg.ref_db) * 0.05)
-    t0 = time.perf_counter()
-    for _ in range(n_ref):
+    ref_times = []
+    for p in range(n_passes):
+        t0 = time.perf_counter()
         _numpy_reference_gl(mag_amp**acfg.gl_power, acfg, gl_iters)
-    ref_dt = time.perf_counter() - t0
-    ref_utt_per_sec = n_ref / ref_dt
+        ref_times.append(time.perf_counter() - t0)
+        print(f"baseline pass {p}: {1.0 / ref_times[-1]:.3f} utt/s", file=sys.stderr)
+    ref_utt_per_sec = 1.0 / float(np.median(ref_times))
 
     # secondary metric: flagship-size training throughput via the
     # device-resident multi-step path (skipped in --quick to bound runtime)
@@ -178,6 +198,10 @@ def main():
                 "platform": platform,
                 "n_utts": n_utts,
                 "gl_iters": gl_iters,
+                "n_passes_median": n_passes,
+                "passes_utt_per_sec": [round(n_utts / t, 2) for t in times],
+                "config": "bf16 compute + uint8 feature wire",
+                "units_agreement_vs_f32": round(units_agreement, 4),
             }
         )
     )

@@ -165,3 +165,34 @@ def test_bf16_converter_runs(tiny_hps):
     # bf16 may flip a small fraction of borderline units, not most of them
     agree = (u32[0] == u16[0]).mean()
     assert agree > 0.9, agree
+
+
+def test_uint8_wire_converter(tiny_hps):
+    """uint8 wire quantization (per-utterance min/max, on-device dequant):
+    units must almost all agree with the bf16-wire path and the PCM stays
+    finite — the wire-bound deployment configuration."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    feats = [
+        np.random.default_rng(i).uniform(0, 1, (64, 129)).astype(np.float32) for i in range(3)
+    ]
+    c_b = Converter(h, acfg, state.enc, state.dec, batch_size=3, bucket_frames=32)
+    c_q = Converter(h, acfg, state.enc, state.dec, batch_size=3, bucket_frames=32, wire="uint8")
+    ub, wb = c_b.convert_features_multi(feats, [0])
+    uq, wq = c_q.convert_features_multi(feats, [0])
+    agree = np.mean([(a == b).mean() for a, b in zip(ub, uq)])
+    assert agree > 0.95, agree
+    for w in wq[0]:
+        assert np.isfinite(w.astype(np.float32)).all()
+    # encode_units path takes the same wire
+    eu = c_q.encode_units(feats)
+    agree_e = np.mean([(a == b).mean() for a, b in zip(ub, eu)])
+    assert agree_e > 0.95, agree_e

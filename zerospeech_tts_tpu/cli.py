@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run encoder/decoder matmuls in bfloat16 (2x MXU rate; "
                         "may flip borderline units)")
+    p.add_argument("--wire-uint8", action="store_true",
+                   help="quantize features to uint8 on the host->device wire "
+                        "(per-utterance min/max, dequantized on-device; halves "
+                        "input bytes, ~0.997 unit agreement)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"],
                    help="features the model was trained on")
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
@@ -423,6 +427,7 @@ def _load_converter(args, hps, acfg):
         mesh=_mesh_from_arg(args.mesh),
         feat=getattr(args, "feat", "lin"),
         compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+        wire="uint8" if getattr(args, "wire_uint8", False) else "bf16",
     )
 
 
