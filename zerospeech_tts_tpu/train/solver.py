@@ -189,14 +189,21 @@ class Solver:
         has_pair = self._has_pair(batch)
 
         def loss_fn(enc_params, dec_params):
-            z = self._encode_latent(enc_params, x, k, train=True)
+            if has_pair:
+                # encode x and its pair in ONE batched pass: the GRU scan is
+                # serial in T, so 2B rides the MXU nearly free vs two scans
+                zc = self._encode_latent(
+                    enc_params, jnp.concatenate([x, batch["x2"]], 0), k, train=True
+                )
+                z, z2 = jnp.split(zc, 2, axis=0)
+            else:
+                z = self._encode_latent(enc_params, x, k, train=True)
             xh = self.decoder.apply(
                 dec_params, z, spk, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
             )
             l_rec = jnp.abs(xh - x).mean()
             if not has_pair:
                 return l_rec, (l_rec, 0.0)
-            z2 = self._encode_latent(enc_params, batch["x2"], jax.random.fold_in(k, 12), train=True)
             l_pair = self._pair_consistency(z, z2, batch["pair_dt"])
             return l_rec + h.lambda_pair * l_pair, (l_rec, l_pair)
 
@@ -268,7 +275,13 @@ class Solver:
 
         # (b) adversarial AE step against the *updated* classifier
         def ae_loss(enc_params, dec_params):
-            z = self._encode_latent(enc_params, x, k, train=True)
+            if has_pair:  # one batched encoder pass for x + its pair
+                zc = self._encode_latent(
+                    enc_params, jnp.concatenate([x, batch["x2"]], 0), k, train=True
+                )
+                z, z2 = jnp.split(zc, 2, axis=0)
+            else:
+                z = self._encode_latent(enc_params, x, k, train=True)
             xh = self.decoder.apply(
                 dec_params, z, spk, train=True, rngs={"dropout": jax.random.fold_in(k, 2)}
             )
@@ -278,9 +291,6 @@ class Solver:
             loss = l_rec - alpha * l_adv
             l_pair = 0.0
             if has_pair:
-                z2 = self._encode_latent(
-                    enc_params, batch["x2"], jax.random.fold_in(k, 12), train=True
-                )
                 l_pair = self._pair_consistency(z, z2, batch["pair_dt"])
                 loss = loss + h.lambda_pair * l_pair
             return loss, (l_rec, l_adv, l_pair)
