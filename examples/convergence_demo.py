@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--lambda-pair", type=float, default=None,
+                    help="pair-objective weight (default: Hps default; 0 = off, "
+                         "the unit-stability A/B baseline)")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +107,7 @@ def main():
         lat_sched_iters=max(1, args.iters),
         alpha_enc=0.02,
         n_critic=2,
+        **({"lambda_pair": args.lambda_pair} if args.lambda_pair is not None else {}),
     )
     manifest = build_corpus(corpus, work / "ds.h5", acfg)
     print(f"== corpus {manifest['counts']}")
@@ -160,6 +164,14 @@ def main():
                                               src_speakers=src_spks)
     report["n_test_utts"] = len(names)
     report["units_active_fraction"] = float(np.mean([u.mean() for u in units]))
+
+    # unit stability under window shifts — the property the pair objective
+    # trains for (lambda_pair=0 gives the A/B baseline)
+    from zerospeech_tts_tpu import eval as ev
+
+    report["unit_stability"] = ev.unit_stability(
+        sol, state, work / "ds.h5", hps, split="test", n_utts=8
+    )["unit_stability"]
 
     # spectral-envelope check: converted-to-V001 outputs should sit closer to
     # V001's train envelope than to V002's

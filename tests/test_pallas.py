@@ -65,13 +65,48 @@ def test_pallas_griffin_lim_matches_xla_consistency():
 
 
 def test_pallas_gl_support_predicate():
-    from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_supported
+    from zerospeech_tts_tpu.ops.pallas_gl import (
+        pallas_gl_supported,
+        pallas_gl_vmap_supported,
+    )
 
     assert pallas_gl_supported(CFG, 512)
-    assert pallas_gl_supported(CFG, 1024)  # v2 signal-domain carry budget
-    assert not pallas_gl_supported(CFG, 1025)
+    assert pallas_gl_supported(CFG, 1024)   # v2 all-VMEM budget
+    assert pallas_gl_supported(CFG, 2048)   # v3 HBM-streamed magnitudes
+    assert not pallas_gl_supported(CFG, 2049)
+    # vmapped callers (the converter) stop at the all-VMEM threshold: the
+    # streaming path's ANY-space input cannot be batched by Pallas
+    assert pallas_gl_vmap_supported(CFG, 1024)
+    assert not pallas_gl_vmap_supported(CFG, 1025)
     odd = AudioConfig(win_length=700, hop_length=200)
     assert not pallas_gl_supported(odd, 128)
+
+
+def test_pallas_gl_streaming_matches_xla():
+    """>1024 frames: magnitudes stream from HBM with double-buffered DMA;
+    the result must match the XLA path's magnitude consistency."""
+    from zerospeech_tts_tpu.ops.pallas_gl import griffin_lim_pallas, pallas_gl_supported
+
+    cfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20)
+    t_target = 1200
+    n = (t_target - 1) * cfg.hop_length
+    rng = np.random.default_rng(1)
+    y = (0.5 * np.sin(2 * np.pi * 330 * np.arange(n) / 16000)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    re, im = A.stft(jnp.asarray(y), cfg, method="fused")
+    mag = jnp.sqrt(re**2 + im**2)
+    assert mag.shape[0] > 1024 and pallas_gl_supported(cfg, mag.shape[0])
+    out_p = np.asarray(griffin_lim_pallas(mag, cfg, n_iters=6, interpret=True))
+    out_x = np.asarray(A.griffin_lim(mag, cfg, n_iters=6))
+    assert out_p.shape == out_x.shape
+
+    def consistency(out):
+        r2, i2 = A.stft(jnp.asarray(out), cfg, method="fused")
+        m2 = np.sqrt(np.asarray(r2) ** 2 + np.asarray(i2) ** 2)
+        m = np.asarray(mag)
+        return float(np.linalg.norm(m2[4:-4] - m[4:-4]) / np.linalg.norm(m[4:-4]))
+
+    assert abs(consistency(out_p) - consistency(out_x)) < 0.02
 
 
 def test_pallas_gl_long_utterance_matches_xla():

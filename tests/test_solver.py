@@ -418,3 +418,26 @@ def test_pair_collapse_penalized(solver):
     dt = jnp.zeros((2,), jnp.int32)
     val = float(solver._pair_consistency(z_const, z_const, dt))
     assert val >= solver.PAIR_SEP_MARGIN - 1e-6
+
+
+def test_unit_stability_metric(tmp_path, tiny_hps):
+    """unit_stability: runs on an h5 corpus, returns a [0,1] agreement
+    with the expected shift bookkeeping."""
+    import h5py
+    import json as _json
+
+    from zerospeech_tts_tpu import eval as ev
+
+    h = tiny_hps.replace(seg_len=16)
+    p = tmp_path / "ds.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(p, "w") as f:
+        for spk in ["A1", "A2"]:
+            x = rng.uniform(0, 1, (200, h.n_feat)).astype(np.float32)
+            f.create_dataset(f"train/{spk}/{spk}_0/lin", data=x)
+        f.attrs["speakers"] = _json.dumps({"A1": 0, "A2": 1})
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    rep = ev.unit_stability(sol, state, p, h, split="train", n_utts=2)
+    assert 0.0 <= rep["unit_stability"] <= 1.0
+    assert rep["n_utterances"] == 2 and rep["shift_frames"] == h.downsample

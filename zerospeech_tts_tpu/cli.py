@@ -111,6 +111,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dataset_path", "--dataset_path", default=None)
     p.add_argument("-ckpt_dir", "--ckpt_dir", default=None)
     p.add_argument("--recon", action="store_true", help="reconstruction L1 (needs dataset+ckpt)")
+    p.add_argument("--stability", action="store_true",
+                   help="unit stability under window shifts (needs dataset+ckpt)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"])
     p.add_argument("--split", default="train")
     p.add_argument("--n-segments", type=int, default=64)
@@ -485,9 +487,9 @@ def cmd_eval(args):
         unit_arrays = ev.load_unit_files(args.units)
         report["bitrate"] = ev.unit_bitrate(args.units, frame_seconds, units=unit_arrays)
         report["units"] = ev.unit_stats(args.units, units=unit_arrays)
-    if args.recon:
+    if args.recon or args.stability:
         if not (args.dataset_path and args.ckpt_dir):
-            sys.exit("--recon needs -dataset_path and -ckpt_dir")
+            sys.exit("--recon/--stability need -dataset_path and -ckpt_dir")
         from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
         solver = Solver(hps)
@@ -497,12 +499,17 @@ def cmd_eval(args):
         )
         state = _restore(solver, ckpt)
         ckpt.close()
+    if args.stability:
+        report["stability"] = ev.unit_stability(
+            solver, state, args.dataset_path, hps, feat=args.feat, split=args.split
+        )
+    if args.recon:
         report["reconstruction"] = ev.reconstruction_l1(
             solver, state, args.dataset_path, hps,
             feat=args.feat, split=args.split, n_segments=args.n_segments,
         )
     if not report:
-        sys.exit("nothing to evaluate: pass --units DIR and/or --recon")
+        sys.exit("nothing to evaluate: pass --units DIR, --recon, and/or --stability")
     print(json.dumps(report, indent=2))
 
 

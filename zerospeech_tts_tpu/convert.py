@@ -117,9 +117,9 @@ class Converter:
         hps, acfg = self.hps, self.acfg
         gl_method = self.stft_method
         if gl_method is None and jax.default_backend() == "tpu":
-            from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_supported
+            from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_vmap_supported
 
-            if pallas_gl_supported(acfg, n_frames):
+            if pallas_gl_vmap_supported(acfg, n_frames):
                 gl_method = "pallas"  # whole-GL-in-VMEM kernel (1.5x XLA path)
 
         def run(enc_params, dec_params, x, spk, tgt_mean, tgt_std, wire_lo, wire_scale):

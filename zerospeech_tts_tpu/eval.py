@@ -68,6 +68,80 @@ def unit_stats(units_dir: str | Path, units=None) -> dict:
     }
 
 
+def unit_stability(
+    solver, state, dataset_path: str | Path, hps, feat: str = "lin",
+    split: str = "train", n_utts: int = 16, seed: int = 0,
+) -> dict:
+    """Window-placement stability of the discrete units.
+
+    Encodes each utterance twice — as-is and shifted by one downsample
+    stride (the first hps.downsample feature frames dropped). A
+    placement-invariant encoder yields identical units on the overlap
+    (shifted units[j] == original units[j+1]); the mean bit agreement is
+    the property the stage-1 pair objective optimizes, and a direct
+    driver of the ZR19 bitrate metric (stable units -> fewer spurious
+    symbols -> lower entropy)."""
+    import h5py
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from zerospeech_tts_tpu.models import hard_units
+
+    stats = None
+    if hps.speaker_norm:
+        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+        stats = SpeakerStats.load(dataset_path, feat)
+    ds = hps.downsample
+    rng = np.random.default_rng(seed)
+    feats = []
+    with h5py.File(dataset_path, "r") as f:
+        pool = [
+            (spk, utt)
+            for spk in f[split]
+            for utt in f[split][spk]
+            if f[f"{split}/{spk}/{utt}/{feat}"].shape[0] >= 4 * ds
+        ]
+        if not pool:
+            raise ValueError("no utterances long enough for stability eval")
+        for i in rng.choice(len(pool), size=min(n_utts, len(pool)), replace=False):
+            spk, utt = pool[i]
+            arr = f[f"{split}/{spk}/{utt}/{feat}"][:]
+            if stats is not None:
+                arr = stats.normalize(arr, spk)
+            feats.append(arr)
+
+    @jax.jit
+    def units_of(enc_params, x):
+        return hard_units(solver.encoder.apply(enc_params, x[None]))[0]
+
+    def encode(arr):  # pad to a 256-frame bucket: few compiles, not one per length
+        t = arr.shape[0]
+        tb = -(-t // 256) * 256
+        padded = np.pad(arr, ((0, tb - t), (0, 0)))
+        return np.asarray(units_of(state.enc, jnp.asarray(padded)))[: t // ds]
+
+    agree, n_bits = 0.0, 0
+    for arr in feats:
+        t = (arr.shape[0] // ds) * ds  # whole latent frames only
+        ua = encode(arr[:t])
+        ub = encode(arr[ds:t])
+        k = min(ua.shape[0] - 1, ub.shape[0])
+        if k <= 0:
+            continue
+        agree += float((ua[1 : k + 1] == ub[:k]).sum())
+        n_bits += k * ua.shape[1]
+    return {
+        "unit_stability": round(agree / max(n_bits, 1), 4),
+        "n_utterances": len(feats),
+        "shift_frames": ds,
+        "feat": feat,
+        "split": split,
+    }
+
+
 def reconstruction_l1(
     solver, state, dataset_path: str | Path, hps, feat: str = "lin",
     split: str = "train", n_segments: int = 64, seed: int = 0,

@@ -6,8 +6,8 @@ iteration state, the DFT bases, and all temporaries in VMEM for the whole
 loop and synthesizes the final signal in-kernel — one kernel invocation =
 the complete vocoder (no trailing XLA iSTFT dispatch).
 
-Signal-domain carry (the v2 design; round-1 carried four full spectra and
-hit the VMEM ceiling at 512 frames): because the iSTFT is linear, fast-GL
+Signal-domain carry (v2; round-1 carried four full spectra and hit the
+VMEM ceiling at 512 frames): because the iSTFT is linear, fast-GL
 momentum on spectra ``c_{i+1} = n_i + a (n_i - n_{i-1})`` maps exactly to
 the same extrapolation on their SIGNALS, so the loop state is two
 [t-1+r, hop] signal buffers (~1 MB at 1024 frames) instead of four
@@ -20,6 +20,16 @@ equivalence with the spectral loop:
             u_i = istft(n_i);     v_{i+1} = u_i + a (u_i - u_{i-1})
     out    = istft(mag * phase(stft(v_{N+1})))
 
+Streaming magnitudes (v3): beyond 1024 frames the [t, fp] f32 magnitude
+no longer fits VMEM next to the working set, so it stays in HBM and each
+sweep double-buffers [tile, fp] slices in via async DMA (SURVEY.md §5
+long-context: blockwise kernels stream arbitrary utterances through
+VMEM). The OLA normalization envelope is stored in its exact compact
+form — [r-1] head rows + ONE repeated interior row + [r-1] tail rows
+(the window-square sum is hop-periodic away from the edges) — so its
+VMEM cost is O(r·hop) instead of O(t·hop). Ceiling: 2048 frames (25.6 s
+at the 12.5 ms hop); longer falls back to the XLA path.
+
 Alignment trick that makes stft/istft matmuls + uniform shifts: with
 ``lead = n_fft//2 - (n_fft - win)//2`` divisible by hop (true for the
 800/200/1024 default and the 256/64/256 test config), the analysis
@@ -29,9 +39,7 @@ hop-block (r = win//hop matmuls each way, roll-aligned overlap-add).
 
 Edge frames see the natural OLA tails instead of a reflect-pad of the
 trimmed signal — magnitude-consistency matches the XLA path to 4 decimals.
-Bases are bf16 (f32 accumulation). Sized for T <= 1024 frames (12.8 s at
-the 12.5 ms hop); the caller falls back to the XLA path beyond that or
-for misaligned configs.
+Bases are bf16 (f32 accumulation).
 """
 
 from __future__ import annotations
@@ -47,16 +55,27 @@ from jax.experimental.pallas import tpu as pltpu
 from zerospeech_tts_tpu.config import AudioConfig
 from zerospeech_tts_tpu.dsp import audio as dsp_audio
 
-MAX_FRAMES = 1024
+MAX_FRAMES = 2048
+STREAM_THRESHOLD = 1024  # above this, magnitudes stream from HBM per tile
 
 
 def pallas_gl_supported(cfg: AudioConfig, n_frames: int) -> bool:
     lead = cfg.n_fft // 2 - (cfg.n_fft - cfg.win_length) // 2
+    r = cfg.win_length // max(cfg.hop_length, 1)
     return (
         cfg.win_length % cfg.hop_length == 0
         and lead % cfg.hop_length == 0
+        and r >= 2
         and n_frames <= MAX_FRAMES
     )
+
+
+def pallas_gl_vmap_supported(cfg: AudioConfig, n_frames: int) -> bool:
+    """Whether the kernel can sit under jax.vmap (the converter batches
+    the vocoder per utterance): the streaming path keeps magnitudes in
+    ANY/HBM memory, which Pallas cannot batch with a non-trivial index
+    map — so vmapped callers are capped at the all-VMEM threshold."""
+    return pallas_gl_supported(cfg, n_frames) and n_frames <= STREAM_THRESHOLD
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,16 +105,24 @@ def _gl_constants(cfg: AudioConfig):
     return ca_k.astype(bf), sa_k.astype(bf), cs_k.astype(bf), ss_k.astype(bf)
 
 
-@functools.lru_cache(maxsize=32)
-def _wss_inv_rows(cfg: AudioConfig, t: int) -> np.ndarray:
+@functools.lru_cache(maxsize=8)
+def _wss_inv_compact(cfg: AudioConfig):
+    """1/wss in its exact compact form: (head [r-1, hop], mid [1, hop],
+    tail [r-1, hop]). The window-square OLA sum is hop-periodic for all
+    interior rows; only the first/last r-1 rows differ (verified
+    numerically against _fused_wss for several t)."""
     r = cfg.win_length // cfg.hop_length
-    wss = dsp_audio._fused_wss(cfg, t)  # [(t-1+r)*hop]
-    return (1.0 / wss).reshape(t - 1 + r, cfg.hop_length).astype(np.float32)
+    t0 = max(4 * r, 16)
+    wss = dsp_audio._fused_wss(cfg, t0).reshape(t0 - 1 + r, cfg.hop_length)
+    inv = (1.0 / wss).astype(np.float32)
+    return inv[: r - 1], inv[r - 1 : r], inv[t0:]
 
 
-def _kernel(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wi_ref, out_ref,
-            v_ref, u_ref, acc_ref, *, n_iters, r, hop, t, tiles, alpha):
+def _gl_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
+             out_ref, v_ref, u_ref, acc_ref, magbuf_ref, sem_ref,
+             *, n_iters, r, hop, t, tiles, alpha):
     bf = jnp.bfloat16
+    streaming = magbuf_ref is not None
 
     def synth_tile(j0, ts, sre16, sim16):
         """Synthesis of one frame tile + roll-aligned local overlap-add,
@@ -112,7 +139,7 @@ def _kernel(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wi_ref, out_ref,
 
     def analyze_tile(x16, j0, ts):
         """STFT of frames [j0, j0+ts) from the bf16 row-view signal."""
-        re = jnp.zeros((ts, mag_ref.shape[1]), jnp.float32)
+        re = jnp.zeros((ts, ca_ref.shape[2]), jnp.float32)
         im = jnp.zeros_like(re)
         for k in range(r):
             seg = jax.lax.slice(x16, (j0 + k, 0), (j0 + k + ts, hop))
@@ -120,27 +147,62 @@ def _kernel(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wi_ref, out_ref,
             im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32)
         return re, im
 
+    def foreach_mag_tile(process):
+        """process(j0, ts, mag_tile) over all frame tiles; streams tiles
+        from HBM with double-buffered DMA when magnitudes don't fit VMEM."""
+        if not streaming:
+            for j0, ts in tiles:
+                process(j0, ts, mag_ref[j0 : j0 + ts, :])
+            return
+        copies = [
+            pltpu.make_async_copy(
+                mag_ref.at[pl.ds(j0, ts), :],
+                magbuf_ref.at[i % 2, pl.ds(0, ts), :],
+                sem_ref.at[i % 2],
+            )
+            for i, (j0, ts) in enumerate(tiles)
+        ]
+        copies[0].start()
+        for i, (j0, ts) in enumerate(tiles):
+            if i + 1 < len(copies):
+                copies[i + 1].start()
+            copies[i].wait()
+            process(j0, ts, magbuf_ref[i % 2, :ts, :])
+
+    def normalized(src_ref):
+        """acc * 1/wss using the compact envelope: head rows, one repeated
+        interior row (hop-periodic region), tail rows."""
+        return jnp.concatenate(
+            [
+                src_ref[: r - 1, :] * wih_ref[:],
+                src_ref[r - 1 : t, :] * wim_ref[:],
+                src_ref[t:, :] * wit_ref[:],
+            ],
+            axis=0,
+        )
+
     def sweep(x):
         """One analysis -> project -> synthesis pass over all frame tiles;
         leaves the un-normalized OLA in acc_ref."""
         acc_ref[:] = jnp.zeros_like(acc_ref)
         x16 = x.astype(bf)
-        for j0, ts in tiles:
+
+        def project_tile(j0, ts, m):
             re, im = analyze_tile(x16, j0, ts)
             norm = jnp.maximum(jnp.sqrt(re * re + im * im), 1e-8)
-            m = mag_ref[j0 : j0 + ts, :]
             synth_tile(j0, ts, (m * re / norm).astype(bf), (m * im / norm).astype(bf))
+
+        foreach_mag_tile(project_tile)
 
     # v_1 = u_0 = istft(mag, zero phase)
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    for j0, ts in tiles:
-        synth_tile(j0, ts, mag_ref[j0 : j0 + ts, :].astype(bf), None)
-    v_ref[:] = acc_ref[:] * wi_ref[:]
+    foreach_mag_tile(lambda j0, ts, m: synth_tile(j0, ts, m.astype(bf), None))
+    v_ref[:] = normalized(acc_ref)
     u_ref[:] = v_ref[:]
 
     def body(_, carry):
         sweep(v_ref[:])
-        u_i = acc_ref[:] * wi_ref[:]
+        u_i = normalized(acc_ref)
         v_ref[:] = u_i + alpha * (u_i - u_ref[:])
         u_ref[:] = u_i
         return carry
@@ -149,7 +211,18 @@ def _kernel(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wi_ref, out_ref,
 
     # final projection + in-kernel synthesis: out = istft(P(v_{N+1}))
     sweep(v_ref[:])
-    out_ref[:] = acc_ref[:] * wi_ref[:]
+    out_ref[:] = normalized(acc_ref)
+
+
+def _kernel_vmem(mag_ref, ca, sa, cs, ss, wih, wim, wit, out_ref, v, u, acc, **kw):
+    _gl_body(mag_ref, ca, sa, cs, ss, wih, wim, wit, out_ref, v, u, acc,
+             None, None, **kw)
+
+
+def _kernel_stream(mag_ref, ca, sa, cs, ss, wih, wim, wit, out_ref, v, u, acc,
+                   magbuf, sem, **kw):
+    _gl_body(mag_ref, ca, sa, cs, ss, wih, wim, wit, out_ref, v, u, acc,
+             magbuf, sem, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters", "interpret"))
@@ -170,30 +243,42 @@ def griffin_lim_pallas(
     fp = ca_k.shape[2]
     if f < fp:
         mag = jnp.pad(mag, ((0, 0), (0, fp - f)))
-    wi = jnp.asarray(_wss_inv_rows(cfg, t))
+    wih, wim, wit = (jnp.asarray(w) for w in _wss_inv_compact(cfg))
 
+    streaming = t > STREAM_THRESHOLD
     # frame tiles bound the transient spectral buffers to [tb, fp]
-    # (on-chip A/B at t=1024, batch 8: tb=512 6.4 ms/utt vs tb=256 7.0)
-    tb = min(t, 512)
+    # (on-chip A/B at t=1024, batch 8: tb=512 6.4 ms/utt vs tb=256 7.0;
+    # the streaming path narrows to 256 to fit the DMA buffers)
+    tb = min(t, 256 if streaming else 512)
     tiles = tuple((j0, min(tb, t - j0)) for j0 in range(0, t, tb))
     rows = t - 1 + r
 
-    kernel = functools.partial(
-        _kernel, n_iters=n_iters, r=r, hop=hop, t=t, tiles=tiles, alpha=cfg.gl_momentum
-    )
+    kernel_kw = dict(n_iters=n_iters, r=r, hop=hop, t=t, tiles=tiles, alpha=cfg.gl_momentum)
+    scratch = [
+        pltpu.VMEM((rows, hop), jnp.float32),  # v: istft(c_i)
+        pltpu.VMEM((rows, hop), jnp.float32),  # u: istft(n_{i-1})
+        pltpu.VMEM((rows, hop), jnp.float32),  # acc: OLA accumulator
+    ]
+    if streaming:
+        kernel = functools.partial(_kernel_stream, **kernel_kw)
+        mag_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        scratch += [
+            pltpu.VMEM((2, tb, fp), jnp.float32),  # double-buffered mag tiles
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_kernel_vmem, **kernel_kw)
+        mag_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[mag_spec] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, hop), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows, hop), jnp.float32),  # v: istft(c_i)
-            pltpu.VMEM((rows, hop), jnp.float32),  # u: istft(n_{i-1})
-            pltpu.VMEM((rows, hop), jnp.float32),  # acc: OLA accumulator
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(mag, ca_k, sa_k, cs_k, ss_k, wi)
+    )(mag, ca_k, sa_k, cs_k, ss_k, wih, wim, wit)
 
     # librosa istft span: drop the centering lead, cut to (t-1)*hop samples
     lead = cfg.n_fft // 2 - (cfg.n_fft - cfg.win_length) // 2
