@@ -192,3 +192,24 @@ def test_converter_requires_speaker_names_with_stats(corpus):
     # explicit names work
     u, w = conv.convert_features_multi(feats, [0], tgt_names=["V001"], src_speakers=["S01"])
     assert u[0].shape[1] == hps.emb_size
+
+
+def test_build_corpus_pipeline_equivalence(tmp_path):
+    """The pipelined corpus build (decode thread + deferred readback) must
+    produce byte-identical features, stats, and speaker map to the
+    synchronous loop."""
+    root = tmp_path / "corpus"
+    _toy_corpus(root)
+    a = build_corpus(root, tmp_path / "a.h5", ACFG, trim=False, pipeline=0)
+    b = build_corpus(root, tmp_path / "b.h5", ACFG, trim=False, pipeline=3)
+    assert a["speakers"] == b["speakers"] and a["counts"] == b["counts"]
+    with h5py.File(tmp_path / "a.h5", "r") as fa, h5py.File(tmp_path / "b.h5", "r") as fb:
+        def walk(g, out, prefix=""):
+            for k, v in g.items():
+                p = f"{prefix}/{k}"
+                (walk(v, out, p) if isinstance(v, h5py.Group) else out.append(p))
+            return out
+        ka, kb = walk(fa, []), walk(fb, [])
+        assert ka == kb
+        for k in ka:
+            np.testing.assert_array_equal(fa[k][:], fb[k][:])

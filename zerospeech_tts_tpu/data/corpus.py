@@ -95,11 +95,25 @@ def build_corpus(
     bucket_frames: int = 64,
     trim: bool = True,
     progress=None,
+    pipeline: int = 3,
 ) -> dict:
     """Extract features for every wav and write the h5 corpus.
 
+    The hot loop is a three-stage pipeline: a producer thread decodes and
+    trims wavs (native C++ fast path) while the main thread dispatches the
+    jitted frontend and defers device->host readback by ``pipeline``
+    utterances — JAX's async dispatch then overlaps decode, device
+    compute, and both transfer directions instead of paying a full
+    dispatch+readback round-trip per utterance (the reference's corpus
+    loop is serial and CPU-bound for hours; SURVEY.md §3.1 🔥).
+    ``pipeline=0`` restores the fully synchronous loop.
+
     Returns a manifest dict: speakers id-map + per-split utterance counts.
     """
+    import collections
+    import queue as queue_mod
+    import threading
+
     found = discover_wavs(corpus_dir)
     out_h5 = Path(out_h5)
     out_h5.parent.mkdir(parents=True, exist_ok=True)
@@ -110,27 +124,57 @@ def build_corpus(
     lin_stats: dict[str, _SpeakerStats] = {}
 
     with h5py.File(out_h5, "w") as f:
+
+        def write_out(split, path, spk, mel_d, lin_d):
+            mel, lin = np.asarray(mel_d), np.asarray(lin_d)  # sync point
+            grp = f.require_group(f"{split}/{spk}/{path.stem}")
+            grp.create_dataset("mel", data=mel, dtype=np.float32)
+            grp.create_dataset("lin", data=lin, dtype=np.float32)
+            counts[split] = counts.get(split, 0) + 1
+            if split == "train":
+                mel_stats.setdefault(spk, _SpeakerStats()).update(mel)
+                lin_stats.setdefault(spk, _SpeakerStats()).update(lin)
+                mel_stats.setdefault("__global__", _SpeakerStats()).update(mel)
+                lin_stats.setdefault("__global__", _SpeakerStats()).update(lin)
+            if progress:
+                progress(split, str(path))
+
         for split in splits:
-            for path in found.get(split, []):
+            paths = found.get(split, [])
+            q: queue_mod.Queue = queue_mod.Queue(maxsize=max(2 * pipeline, 2))
+
+            def producer(paths=paths, q=q):
+                try:
+                    for path in paths:
+                        # native C++ decode+trim fast path, scipy fallback
+                        y = native_io.load_and_trim(path, cfg.sr, cfg.top_db if trim else None)
+                        q.put((path, y))
+                except BaseException as e:  # surface in the consumer
+                    q.put(e)
+                    return
+                q.put(None)
+
+            th = threading.Thread(target=producer, daemon=True)
+            th.start()
+            pending: collections.deque = collections.deque()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                path, y = item
                 spk = speaker_of(path)
                 speakers.setdefault(spk, len(speakers))
-                # native C++ decode+trim fast path, scipy fallback
-                y = native_io.load_and_trim(path, cfg.sr, cfg.top_db if trim else None)
                 if len(y) < cfg.hop_length:
                     continue
-                mel, lin = dsp_audio.get_spectrograms(y, cfg, bucket_frames=bucket_frames)
-                utt = path.stem
-                grp = f.require_group(f"{split}/{spk}/{utt}")
-                grp.create_dataset("mel", data=mel, dtype=np.float32)
-                grp.create_dataset("lin", data=lin, dtype=np.float32)
-                counts[split] = counts.get(split, 0) + 1
-                if split == "train":
-                    mel_stats.setdefault(spk, _SpeakerStats()).update(mel)
-                    lin_stats.setdefault(spk, _SpeakerStats()).update(lin)
-                    mel_stats.setdefault("__global__", _SpeakerStats()).update(mel)
-                    lin_stats.setdefault("__global__", _SpeakerStats()).update(lin)
-                if progress:
-                    progress(split, str(path))
+                mel_d, lin_d = dsp_audio.get_spectrograms(y, cfg, bucket_frames=bucket_frames)
+                pending.append((path, spk, mel_d, lin_d))
+                if len(pending) > pipeline:
+                    write_out(split, *pending.popleft())
+            while pending:
+                write_out(split, *pending.popleft())
+            th.join(timeout=5.0)
 
         for spk, st in mel_stats.items():
             mean, std = st.finalize()
