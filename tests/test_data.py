@@ -69,7 +69,7 @@ def test_segment_index_and_loader(corpus, tmp_path):
     root, h5, manifest = corpus
     hps = Hps(batch_size=4, seg_len=32, n_feat=ACFG.n_freq, n_speakers=len(manifest["speakers"]))
     idx = tmp_path / "index.json"
-    entries = make_segment_index(h5, idx, hps.seg_len, 100, seed=1)
+    entries = make_segment_index(h5, idx, hps.seg_len, 100, seed=1, pair_grid=hps.downsample)
     assert len(entries) == 100
     assert all(e["t0"] >= 0 and "t1" in e for e in entries)
 
@@ -213,3 +213,37 @@ def test_build_corpus_pipeline_equivalence(tmp_path):
         assert ka == kb
         for k in ka:
             np.testing.assert_array_equal(fa[k][:], fb[k][:])
+
+
+def test_shipped_hps_variants_load():
+    """Both shipped hps JSONs (english + surprise) must load into valid,
+    hashable (jit-static) configs with consistent geometry."""
+    from pathlib import Path
+
+    from zerospeech_tts_tpu.config import load_configs
+
+    hps_dir = Path(__file__).resolve().parent.parent / "zerospeech_tts_tpu" / "hps"
+    files = sorted(hps_dir.glob("*.json"))
+    assert {f.name for f in files} >= {"zerospeech.json", "surprise.json"}
+    for f in files:
+        hps, acfg = load_configs(f)
+        hash(hps), hash(acfg)  # jit-static usability
+        assert hps.seg_len % hps.downsample == 0
+        assert hps.n_feat == acfg.n_fft // 2 + 1  # lin-feature geometry
+        assert hps.n_speakers > 0 and hps.lambda_pair >= 0
+
+
+def test_loader_rejects_offgrid_pair_index(corpus, tmp_path):
+    """An index whose pair offsets are off the downsample grid (built
+    without pair_grid=hps.downsample) must be refused when pairs=True —
+    the solver would silently compare misaligned latents."""
+    root, h5, manifest = corpus
+    hps = Hps(batch_size=2, seg_len=32, n_feat=ACFG.n_freq, n_speakers=4)
+    idx = tmp_path / "offgrid.json"
+    entries = make_segment_index(h5, idx, hps.seg_len, 200, seed=5)  # pair_grid=1
+    assert any((e["t1"] - e["t0"]) % hps.downsample for e in entries)
+    with pytest.raises(ValueError, match="grid"):
+        SegmentLoader(h5, idx, hps, pairs=True)
+    # pairs=False doesn't care
+    with SegmentLoader(h5, idx, hps, pairs=False, prefetch=0) as dl:
+        assert "x2" not in next(iter(dl))

@@ -441,3 +441,66 @@ def test_unit_stability_metric(tmp_path, tiny_hps):
     rep = ev.unit_stability(sol, state, p, h, split="train", n_utts=2)
     assert 0.0 <= rep["unit_stability"] <= 1.0
     assert rep["n_utterances"] == 2 and rep["shift_frames"] == h.downsample
+
+
+def test_train_many_pairs_flag(tmp_path, tiny_hps):
+    """pairs=False on the device path must actually disable the pair
+    objective (the --no-pairs CLI contract)."""
+    import h5py
+    import json as _json
+
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+
+    h = tiny_hps.replace(batch_size=2, seg_len=16)
+    p = tmp_path / "ds.h5"
+    rng = np.random.default_rng(0)
+    with h5py.File(p, "w") as f:
+        for spk in ["A1", "A2"]:
+            f.create_dataset(
+                f"train/{spk}/{spk}_0/lin",
+                data=rng.uniform(0, 1, (50, h.n_feat)).astype(np.float32),
+            )
+        f.attrs["speakers"] = _json.dumps({"A1": 0, "A2": 1})
+    ds = DeviceDataset.from_h5(p, h, feat="lin")
+    sol = Solver(h)
+    _, m_on = sol.train_many(sol.init_state(jax.random.PRNGKey(0)), ds, "pretrain_AE", 2)
+    _, m_off = sol.train_many(
+        sol.init_state(jax.random.PRNGKey(0)), ds, "pretrain_AE", 2, None, False
+    )
+    assert "loss_pair" in m_on and "loss_pair" not in m_off
+
+
+def test_ckpt_save_overwrites_existing_step(solver, tmp_path):
+    """Rewinding with --load_model STEP re-reaches old step numbers; save
+    must overwrite instead of crashing with StepAlreadyExists."""
+    s1 = solver.init_state(jax.random.PRNGKey(1))
+    s1, _ = solver.step_pretrain_ae(s1, _batch(solver.hps))  # step 1
+    m = CheckpointManager(tmp_path / "ck")
+    m.save(s1, wait=True)
+    s1b = solver.init_state(jax.random.PRNGKey(2))
+    s1b, _ = solver.step_pretrain_ae(s1b, _batch(solver.hps, seed=3))  # step 1 again
+    m.save(s1b, wait=True)  # must not raise
+    restored = m.restore(solver.init_state(jax.random.PRNGKey(0)))
+    m.close()
+    for a, b in zip(jax.tree.leaves(s1b.enc), jax.tree.leaves(restored.enc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ckpt_read_only_source(solver, tmp_path):
+    """A read-only manager must not create directories or stamp hps.json
+    into a foreign checkpoint dir (pure-load semantics)."""
+    with pytest.raises(FileNotFoundError):
+        CheckpointManager(tmp_path / "nope", read_only=True)
+    assert not (tmp_path / "nope").exists()
+
+    src = tmp_path / "src"
+    w = CheckpointManager(src)  # no hps stamped
+    state = solver.init_state(jax.random.PRNGKey(0))
+    w.save(state, wait=True)
+    w.close()
+    (src / "hps.json").unlink(missing_ok=True)
+    r = CheckpointManager(src, hps=solver.hps, read_only=True)
+    restored = r.restore(solver.init_state(jax.random.PRNGKey(9)))
+    r.close()
+    assert int(restored.step) == 0
+    assert not (src / "hps.json").exists()  # check-only, never written

@@ -214,7 +214,8 @@ def _restore_source(args, hps, default_mgr):
     from zerospeech_tts_tpu.train import CheckpointManager
 
     mgr = CheckpointManager(
-        dir_ov, hps=hps, allow_migration=getattr(args, "allow_schema_migration", False)
+        dir_ov, hps=hps, read_only=True,  # a pure load must not mutate the source
+        allow_migration=getattr(args, "allow_schema_migration", False),
     )
     return mgr, step
 
@@ -347,7 +348,8 @@ def cmd_train1(args):
                     continue
                 print(f"== stage-1 phase {mode}: {iters} iters (device-data)")
                 state = solver.train_device(
-                    state, loader, mode, iters, logger=logger, ckpt=ckpt, batch_sharding=bsh
+                    state, loader, mode, iters, logger=logger, ckpt=ckpt,
+                    batch_sharding=bsh, pairs=not getattr(args, "no_pairs", False),
                 )
     else:
         with loader, _MaybeProfile(args):

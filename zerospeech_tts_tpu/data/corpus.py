@@ -168,7 +168,9 @@ def build_corpus(
                 speakers.setdefault(spk, len(speakers))
                 if len(y) < cfg.hop_length:
                     continue
-                mel_d, lin_d = dsp_audio.get_spectrograms(y, cfg, bucket_frames=bucket_frames)
+                mel_d, lin_d = dsp_audio.get_spectrograms(
+                    y, cfg, bucket_frames=bucket_frames, sync=False
+                )
                 pending.append((path, spk, mel_d, lin_d))
                 if len(pending) > pipeline:
                     write_out(split, *pending.popleft())

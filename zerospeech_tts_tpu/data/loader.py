@@ -52,6 +52,18 @@ class SegmentLoader:
         self.entries = json.loads(Path(index_path).read_text())
         if not self.entries:
             raise ValueError(f"empty segment index {index_path}")
+        if pairs:
+            # the solver's pair objective floor-divides pair_dt by the
+            # downsample; off-grid offsets silently misalign the compared
+            # latents (an index built without pair_grid=hps.downsample)
+            dts = np.array([e["t1"] - e["t0"] for e in self.entries])
+            if (dts % hps.downsample).any():
+                raise ValueError(
+                    f"segment index {index_path} has pair offsets off the "
+                    f"downsample={hps.downsample} grid — rebuild it with "
+                    f"`zstts preprocess` (make_segment_index pair_grid="
+                    f"hps.downsample), or pass pairs=False / --no-pairs"
+                )
         self._f = h5py.File(self.h5_path, "r")
         self.speakers: dict[str, int] = json.loads(self._f.attrs["speakers"])
         from zerospeech_tts_tpu.data.device_dataset import check_speaker_ids

@@ -330,14 +330,24 @@ def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str | None = None)
     return amp_to_db_norm(mel, cfg), amp_to_db_norm(mag, cfg)
 
 
-def get_spectrograms(y: np.ndarray, cfg: AudioConfig, bucket_frames: int = 64, method: str | None = None):
+def get_spectrograms(
+    y: np.ndarray,
+    cfg: AudioConfig,
+    bucket_frames: int = 64,
+    method: str | None = None,
+    sync: bool = True,
+):
     """Host entry point matching the reference ``get_spectrograms`` contract
     (ref preprocess.py:~20-80): trimmed float wav -> (mel[T,80], mag[T,513])
     as numpy. Pads to a frame bucket to bound jit recompiles, then slices
-    back to the true frame count."""
+    back to the true frame count. ``sync=False`` returns lazily-sliced
+    DEVICE arrays instead — the corpus-build pipeline defers the
+    device->host readback so dispatches overlap transfers."""
     t_true = n_frames_for(len(y), cfg)
     ypad = pad_to_bucket(np.asarray(y, dtype=np.float32), cfg, bucket_frames)
     mel, mag = wav_to_features(jnp.asarray(ypad), cfg, method=method)
+    if not sync:
+        return mel[:t_true], mag[:t_true]
     return np.asarray(mel)[:t_true], np.asarray(mag)[:t_true]
 
 

@@ -66,6 +66,9 @@ def pallas_gl_supported(cfg: AudioConfig, n_frames: int) -> bool:
         cfg.win_length % cfg.hop_length == 0
         and lead % cfg.hop_length == 0
         and r >= 2
+        # compact-envelope slicing + the hop-periodic interior row need at
+        # least one fully-overlapped OLA region
+        and n_frames >= 2 * r
         and n_frames <= MAX_FRAMES
     )
 

@@ -24,6 +24,7 @@ class CheckpointManager:
         max_to_keep: int = 3,
         hps=None,
         allow_migration: bool = False,
+        read_only: bool = False,
     ):
         """``allow_migration=False`` (default) makes restore STRICT: a
         checkpoint whose structure doesn't match the template refuses to
@@ -32,13 +33,25 @@ class CheckpointManager:
         restore "successfully". Pass allow_migration=True (CLI
         ``--allow-schema-migration``) to accept checkpoints written by an
         older TrainState schema, filling ONLY the fields the checkpoint
-        lacks from the template."""
+        lacks from the template.
+
+        ``read_only=True`` is for restore-source directories (e.g.
+        ``--load_model DIR``): the path must already exist, nothing is
+        created, and hps.json is checked but never written — a pure load
+        must not mutate someone else's artifact."""
         self.path = Path(ckpt_dir).absolute()
-        self.path.mkdir(parents=True, exist_ok=True)
+        self.read_only = read_only
+        if read_only:
+            if not self.path.is_dir():
+                raise FileNotFoundError(f"checkpoint dir {self.path} does not exist")
+        else:
+            self.path.mkdir(parents=True, exist_ok=True)
         self.allow_migration = allow_migration
         self.mgr = ocp.CheckpointManager(
             self.path,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=not read_only
+            ),
         )
         self._hps = hps
         if hps is not None:
@@ -69,11 +82,17 @@ class CheckpointManager:
                     f"a fresh -ckpt_dir or the hps the checkpoint was trained "
                     f"with."
                 )
-        else:
+        elif not self.read_only:
             meta_path.write_text(json.dumps(current, indent=2) + "\n")
 
     def save(self, state: TrainState, wait: bool = False) -> None:
-        self.mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+        """Save at the state's step. A step that already exists is
+        OVERWRITTEN (a --load_model STEP rewind re-reaches old step
+        numbers; orbax would otherwise raise StepAlreadyExists mid-run)."""
+        step = int(state.step)
+        if step in self.mgr.all_steps():
+            self.mgr.delete(step)
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
         if wait:
             self.mgr.wait_until_finished()
 

@@ -437,9 +437,15 @@ class Solver:
             "train": type(self).step_train,
         }[mode].__wrapped__
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5), donate_argnums=1)
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6), donate_argnums=1)
     def train_many(
-        self, state: TrainState, dataset, mode: str, k_steps: int, batch_sharding=None
+        self,
+        state: TrainState,
+        dataset,
+        mode: str,
+        k_steps: int,
+        batch_sharding=None,
+        pairs: bool = True,
     ):
         """Run k_steps of ``mode`` in ONE dispatch: a lax.scan whose body
         samples the batch from the device-resident dataset and applies the
@@ -456,13 +462,17 @@ class Solver:
         """
 
         state = self._stamp_train_start(state, mode)
-        want_pairs = mode in ("pretrain_AE", "train") and self.hps.lambda_pair > 0
+        want_pairs = pairs and mode in ("pretrain_AE", "train") and self.hps.lambda_pair > 0
+        import inspect
+
+        takes_pairs = "pairs" in inspect.signature(dataset.sample_batch).parameters
 
         def sample(k):
-            try:
-                b = dataset.sample_batch(k, pairs=want_pairs)
-            except TypeError:  # samplers without a pair path
-                b = dataset.sample_batch(k)
+            b = (
+                dataset.sample_batch(k, pairs=want_pairs)
+                if takes_pairs
+                else dataset.sample_batch(k)
+            )
             if batch_sharding is not None:
                 b = jax.lax.with_sharding_constraint(
                     b, jax.tree.map(lambda _: batch_sharding, b)
@@ -503,6 +513,7 @@ class Solver:
         log_interval: int | None = None,
         save_interval: int | None = None,
         batch_sharding=None,
+        pairs: bool = True,
     ) -> TrainState:
         """Training loop over the device-resident dataset: chunks of
         log_interval steps per dispatch, logging/checkpointing at chunk
@@ -515,7 +526,7 @@ class Solver:
         next_save = save_interval
         while done < iters:
             k = min(log_interval, iters - done)
-            state, metrics = self.train_many(state, dataset, mode, k, batch_sharding)
+            state, metrics = self.train_many(state, dataset, mode, k, batch_sharding, pairs)
             done += k
             if logger:
                 logger.log(int(state.step), metrics, prefix=mode)
