@@ -1,0 +1,84 @@
+"""Mini-ABX evaluator tests: DTW properties, discriminable vs random
+units, item-file plumbing through the CLI."""
+
+import numpy as np
+import pytest
+
+from zerospeech_tts_tpu import eval as ev
+
+
+def _coded_units(cls_bits, T, rng, flip=0.05, D=16):
+    """Units whose class is encoded in a bit band, with noise flips."""
+    u = np.zeros((T, D), np.int32)
+    u[:, cls_bits] = 1
+    noise = rng.random((T, D)) < flip
+    return np.where(noise, 1 - u, u)
+
+
+def test_dtw_properties():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2, (7, 16))
+    b = rng.integers(0, 2, (9, 16))
+    assert ev.dtw_distance(a, a) == pytest.approx(0.0)
+    dab, dba = ev.dtw_distance(a, b), ev.dtw_distance(b, a)
+    assert dab == pytest.approx(dba)  # symmetric
+    assert dab > 0
+    # time-warped copy (frames repeated) stays near zero
+    a2 = np.repeat(a, 2, axis=0)
+    assert ev.dtw_distance(a, a2) == pytest.approx(0.0, abs=1e-9)
+
+
+def _items(rng, coded=True):
+    bands = {"p1": slice(0, 5), "p2": slice(5, 10), "p3": slice(10, 15)}
+    items = []
+    for cls, band in bands.items():
+        for spk in ("s1", "s2"):
+            for i in range(3):
+                T = int(rng.integers(4, 9))
+                u = (
+                    _coded_units(band, T, rng)
+                    if coded
+                    else rng.integers(0, 2, (T, 16)).astype(np.int32)
+                )
+                items.append({"cls": cls, "spk": spk, "units": u})
+    return items
+
+
+def test_abx_discriminable_vs_random():
+    rng = np.random.default_rng(1)
+    good = ev.abx_discriminability(_items(rng, coded=True))
+    assert good["abx"] > 0.95, good
+    assert good["n_contexts"] > 0 and good["mode"] == "within-speaker"
+    rand = ev.abx_discriminability(_items(rng, coded=False))
+    assert 0.2 < rand["abx"] < 0.8, rand  # chance-ish
+    across = ev.abx_discriminability(_items(rng, coded=True), across_speaker=True)
+    assert across["abx"] > 0.9 and across["mode"] == "across-speaker"
+
+
+def test_abx_item_file_and_cli(tmp_path, capsys):
+    from zerospeech_tts_tpu.cli import main as cli_main
+    from zerospeech_tts_tpu.convert import write_units
+
+    rng = np.random.default_rng(2)
+    units_dir = tmp_path / "units"
+    lines = []
+    bands = {"p1": slice(0, 5), "p2": slice(5, 10)}
+    for cls, band in bands.items():
+        for spk in ("s1", "s2"):
+            for i in range(2):
+                utt = f"{spk}_{cls}_{i}"
+                write_units(units_dir / f"{utt}.txt", _coded_units(band, 8, rng))
+                lines.append(f"{utt} 0 8 {cls} {spk}")
+    item_file = tmp_path / "items.txt"
+    item_file.write_text("# utt start end cls spk\n" + "\n".join(lines) + "\n")
+
+    import json
+
+    cli_main([
+        "eval", "--platform", "cpu",
+        "--units", str(units_dir),
+        "--abx", str(item_file),
+    ])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["abx"]["abx"] > 0.9
+    assert rep["bitrate"]["n_utterances"] == 8

@@ -113,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--recon", action="store_true", help="reconstruction L1 (needs dataset+ckpt)")
     p.add_argument("--stability", action="store_true",
                    help="unit stability under window shifts (needs dataset+ckpt)")
+    p.add_argument("--abx", default=None, metavar="ITEMFILE",
+                   help="mini-ABX discriminability over dumped units (needs "
+                        "--units DIR; item lines: utt start end cls spk, "
+                        "latent-frame indices)")
+    p.add_argument("--abx-across", action="store_true",
+                   help="across-speaker ABX instead of within-speaker")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"])
     p.add_argument("--split", default="train")
     p.add_argument("--n-segments", type=int, default=64)
@@ -489,6 +495,11 @@ def cmd_eval(args):
         unit_arrays = ev.load_unit_files(args.units)
         report["bitrate"] = ev.unit_bitrate(args.units, frame_seconds, units=unit_arrays)
         report["units"] = ev.unit_stats(args.units, units=unit_arrays)
+    if args.abx:
+        if not args.units:
+            sys.exit("--abx needs --units DIR (the dumped unit files)")
+        items = ev.load_abx_items(args.abx, args.units)
+        report["abx"] = ev.abx_discriminability(items, across_speaker=args.abx_across)
     if args.recon or args.stability:
         if not (args.dataset_path and args.ckpt_dir):
             sys.exit("--recon/--stability need -dataset_path and -ckpt_dir")

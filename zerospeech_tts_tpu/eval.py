@@ -10,6 +10,11 @@ training runs can track them).
   held-out segments (the BASELINE.json "mel-reconstruction L1" gate).
 * **Unit statistics** — active-bit fraction and per-dimension usage
   (collapse diagnostics).
+* **Unit stability** — agreement of units under window shifts (what the
+  stage-1 pair objective trains; a driver of the bitrate metric).
+* **Mini-ABX** — DTW/Hamming ABX discriminability over unit snippets
+  (the challenge's primary unit-quality metric, reimplemented with
+  simplified aggregation so it runs without the external eval kit).
 """
 
 from __future__ import annotations
@@ -66,6 +71,122 @@ def unit_stats(units_dir: str | Path, units=None) -> dict:
         "dead_dims": int(np.sum((per_dim < 1e-3) | (per_dim > 1 - 1e-3))),
         "n_dims": int(u.shape[1]),
     }
+
+
+def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Path-normalized DTW distance between two unit sequences [Ta, D],
+    [Tb, D] with mean-Hamming frame distance (the natural metric for MBV
+    bit vectors; matches the challenge evaluator's frame-DTW structure)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    ta, tb = a.shape[0], b.shape[0]
+    # frame-distance matrix: mean |bit difference|
+    d = np.abs(a[:, None, :] - b[None, :, :]).mean(axis=2)
+    inf = np.float64(np.inf)
+    acc = np.full((ta + 1, tb + 1), inf)
+    acc[0, 0] = 0.0
+    steps = np.zeros((ta + 1, tb + 1), np.int32)
+    for i in range(1, ta + 1):
+        # a j-loop: the row recurrence (left neighbor) defeats vectorizing;
+        # eval snippets are short so the O(Ta*Tb) python DP is fine
+        for j in range(1, tb + 1):
+            best = min(acc[i - 1][j], acc[i][j - 1], acc[i - 1][j - 1])
+            if best == acc[i - 1][j - 1]:
+                steps[i, j] = steps[i - 1, j - 1] + 1
+            elif best == acc[i - 1][j]:
+                steps[i, j] = steps[i - 1, j] + 1
+            else:
+                steps[i, j] = steps[i, j - 1] + 1
+            acc[i][j] = d[i - 1, j - 1] + best
+    return float(acc[ta, tb] / max(int(steps[ta, tb]), 1))
+
+
+def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dict:
+    """Mini-ABX over discrete-unit snippets (the ZR19 challenge's primary
+    unit-quality metric; the reference delegates it to the external eval
+    kit — SURVEY.md §4 — this is a self-contained reimplementation with
+    SIMPLIFIED aggregation, documented below).
+
+    items: [{"cls": phone/category label, "spk": speaker, "units": [T, D]}]
+
+    Within-speaker ABX: for every ordered class pair (cA, cB) and speaker
+    s, and every triple (a, x of class cA, b of class cB, all speaker s,
+    a != x): score 1 if DTW(x, a) < DTW(x, b), 0.5 on ties. Across-speaker:
+    a and b share a speaker, x comes from a different one. Aggregation:
+    mean over triples within each (cA, cB[, s]) context, then mean over
+    contexts (the official kit additionally weights contexts by phone
+    frequency; this simplified mean is order-of-magnitude faithful and
+    monotone in unit quality). 1.0 = perfectly discriminable units,
+    0.5 = chance."""
+    from collections import defaultdict
+    from itertools import product
+
+    by = defaultdict(list)
+    for it in items:
+        by[(it["cls"], it["spk"])].append(np.asarray(it["units"]))
+    classes = sorted({c for c, _ in by})
+    speakers = sorted({s for _, s in by})
+
+    dcache: dict = {}
+
+    def dist(u, v):
+        key = (id(u), id(v))
+        if key not in dcache:
+            dcache[key] = dcache[(id(v), id(u))] = dtw_distance(u, v)
+        return dcache[key]
+
+    contexts = []
+    for ca, cb in product(classes, classes):
+        if ca == cb:
+            continue
+        for s in speakers:
+            a_pool, b_pool = by.get((ca, s), []), by.get((cb, s), [])
+            if len(a_pool) < 2 or not b_pool:
+                continue
+            if across_speaker:
+                x_pool = [u for s2 in speakers if s2 != s for u in by.get((ca, s2), [])]
+            else:
+                x_pool = a_pool
+            scores = []
+            for xi, x in enumerate(x_pool):
+                for ai, a in enumerate(a_pool):
+                    if not across_speaker and ai == xi:
+                        continue  # a != x within-speaker
+                    for b in b_pool:
+                        da, db = dist(x, a), dist(x, b)
+                        scores.append(1.0 if da < db else (0.5 if da == db else 0.0))
+            if scores:
+                contexts.append(float(np.mean(scores)))
+    return {
+        "abx": round(float(np.mean(contexts)), 4) if contexts else float("nan"),
+        "n_contexts": len(contexts),
+        "n_classes": len(classes),
+        "mode": "across-speaker" if across_speaker else "within-speaker",
+    }
+
+
+def load_abx_items(item_file: str | Path, units_dir: str | Path, downsample_from=None) -> list[dict]:
+    """Item file: whitespace-separated ``utt start end cls spk`` per line
+    (frame indices in LATENT frames; '#' comments allowed), referencing
+    unit files ``<units_dir>/<utt>.txt``."""
+    from zerospeech_tts_tpu.convert import read_units
+
+    units_dir = Path(units_dir)
+    cache: dict = {}
+    items = []
+    for ln in Path(item_file).read_text().splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        utt, t0, t1, cls, spk = ln.split()[:5]
+        if utt not in cache:
+            cache[utt] = read_units(units_dir / f"{utt}.txt")
+        seg = cache[utt][int(t0) : int(t1)]
+        if seg.shape[0] >= 1:
+            items.append({"cls": cls, "spk": spk, "units": seg})
+    if not items:
+        raise ValueError(f"no usable items in {item_file}")
+    return items
 
 
 def unit_stability(
