@@ -61,6 +61,14 @@ def _numpy_reference_gl(mag: np.ndarray, cfg, n_iters: int) -> np.ndarray:
 def main():
     import jax
 
+    # persistent compile cache: the bench's wall time is compile-dominated
+    # (batch-16 GL-100 program + train_many); repeat runs skip it entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zstts_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache flags absent
+
     from zerospeech_tts_tpu.config import AudioConfig, Hps
     from zerospeech_tts_tpu.convert import Converter
     from zerospeech_tts_tpu.dsp import audio as dsp_audio
