@@ -146,6 +146,12 @@ def _setup_platform(args):
         pass  # default env platform
     if getattr(args, "check_numerics", False):
         jax.config.update("jax_debug_nans", True)
+    # multi-host: no-op unless the JAX cluster env vars are present
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)
+    from zerospeech_tts_tpu.parallel import initialize
+
+    if initialize():
+        print(f"jax.distributed initialized: {jax.process_count()} processes")
     return jax
 
 
