@@ -82,3 +82,18 @@ def test_abx_item_file_and_cli(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["abx"]["abx"] > 0.9
     assert rep["bitrate"]["n_utterances"] == 8
+
+
+def test_abx_across_speaker_single_exemplars():
+    """Across-speaker ABX must score contexts with ONE exemplar per
+    (class, speaker) — a != x is only required within-speaker."""
+    rng = np.random.default_rng(3)
+    bands = {"p1": slice(0, 5), "p2": slice(5, 10)}
+    items = [
+        {"cls": cls, "spk": spk, "units": _coded_units(band, 8, rng)}
+        for cls, band in bands.items()
+        for spk in ("s1", "s2")
+    ]
+    rep = ev.abx_discriminability(items, across_speaker=True)
+    assert rep["n_contexts"] > 0
+    assert rep["abx"] > 0.9

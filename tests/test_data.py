@@ -247,3 +247,33 @@ def test_loader_rejects_offgrid_pair_index(corpus, tmp_path):
     # pairs=False doesn't care
     with SegmentLoader(h5, idx, hps, pairs=False, prefetch=0) as dl:
         assert "x2" not in next(iter(dl))
+
+
+def test_build_corpus_consumer_failure_unblocks_producer(tmp_path, monkeypatch):
+    """If the consumer dies mid-build, the producer thread must terminate
+    instead of blocking forever on the bounded queue."""
+    import threading
+    import time as _time
+
+    from zerospeech_tts_tpu.data import corpus as corpus_mod
+
+    root = tmp_path / "corpus"
+    _toy_corpus(root, n_utt=6)
+
+    calls = {"n": 0}
+    orig = corpus_mod.dsp_audio.get_spectrograms
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("synthetic consumer failure")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(corpus_mod.dsp_audio, "get_spectrograms", boom)
+    n0 = threading.active_count()
+    with pytest.raises(RuntimeError, match="synthetic"):
+        build_corpus(root, tmp_path / "x.h5", ACFG, trim=False, pipeline=1)
+    deadline = _time.time() + 10
+    while threading.active_count() > n0 and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= n0, "producer thread leaked"

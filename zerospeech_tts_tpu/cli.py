@@ -418,8 +418,8 @@ def _load_converter(args, hps, acfg):
     from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
     solver = Solver(hps)
-    ckpt = CheckpointManager(
-        args.ckpt_dir, hps=hps,
+    ckpt = CheckpointManager(  # conversion only LOADS: never mutate the dir
+        args.ckpt_dir, hps=hps, read_only=True,
         allow_migration=getattr(args, "allow_schema_migration", False),
     )
     src_mgr, src_step = _restore_source(args, hps, ckpt)
@@ -512,8 +512,8 @@ def cmd_eval(args):
         from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
         solver = Solver(hps)
-        ckpt = CheckpointManager(
-            args.ckpt_dir, hps=hps,
+        ckpt = CheckpointManager(  # eval only LOADS: never mutate the dir
+            args.ckpt_dir, hps=hps, read_only=True,
             allow_migration=getattr(args, "allow_schema_migration", False),
         )
         state = _restore(solver, ckpt)

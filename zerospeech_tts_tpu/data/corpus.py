@@ -142,41 +142,55 @@ def build_corpus(
         for split in splits:
             paths = found.get(split, [])
             q: queue_mod.Queue = queue_mod.Queue(maxsize=max(2 * pipeline, 2))
+            stop = threading.Event()  # consumer death must unblock q.put
 
-            def producer(paths=paths, q=q):
+            def producer(paths=paths, q=q, stop=stop):
+                def put(item) -> bool:
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            return True
+                        except queue_mod.Full:
+                            continue
+                    return False
+
                 try:
                     for path in paths:
                         # native C++ decode+trim fast path, scipy fallback
                         y = native_io.load_and_trim(path, cfg.sr, cfg.top_db if trim else None)
-                        q.put((path, y))
+                        if not put((path, y)):
+                            return
                 except BaseException as e:  # surface in the consumer
-                    q.put(e)
+                    put(e)
                     return
-                q.put(None)
+                put(None)
 
             th = threading.Thread(target=producer, daemon=True)
             th.start()
             pending: collections.deque = collections.deque()
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                path, y = item
-                spk = speaker_of(path)
-                speakers.setdefault(spk, len(speakers))
-                if len(y) < cfg.hop_length:
-                    continue
-                mel_d, lin_d = dsp_audio.get_spectrograms(
-                    y, cfg, bucket_frames=bucket_frames, sync=False
-                )
-                pending.append((path, spk, mel_d, lin_d))
-                if len(pending) > pipeline:
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    path, y = item
+                    spk = speaker_of(path)
+                    speakers.setdefault(spk, len(speakers))
+                    if len(y) < cfg.hop_length:
+                        continue
+                    mel_d, lin_d = dsp_audio.get_spectrograms(
+                        y, cfg, bucket_frames=bucket_frames, sync=False
+                    )
+                    pending.append((path, spk, mel_d, lin_d))
+                    if len(pending) > pipeline:
+                        write_out(split, *pending.popleft())
+                while pending:
                     write_out(split, *pending.popleft())
-            while pending:
-                write_out(split, *pending.popleft())
-            th.join(timeout=5.0)
+            finally:
+                stop.set()
+                th.join(timeout=5.0)
 
         for spk, st in mel_stats.items():
             mean, std = st.finalize()

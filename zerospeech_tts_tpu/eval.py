@@ -141,7 +141,9 @@ def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dic
             continue
         for s in speakers:
             a_pool, b_pool = by.get((ca, s), []), by.get((cb, s), [])
-            if len(a_pool) < 2 or not b_pool:
+            # within-speaker draws x from a_pool and needs a distinct a;
+            # across-speaker draws x from other speakers, one a suffices
+            if len(a_pool) < (1 if across_speaker else 2) or not b_pool:
                 continue
             if across_speaker:
                 x_pool = [u for s2 in speakers if s2 != s for u in by.get((ca, s2), [])]
@@ -165,7 +167,7 @@ def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dic
     }
 
 
-def load_abx_items(item_file: str | Path, units_dir: str | Path, downsample_from=None) -> list[dict]:
+def load_abx_items(item_file: str | Path, units_dir: str | Path) -> list[dict]:
     """Item file: whitespace-separated ``utt start end cls spk`` per line
     (frame indices in LATENT frames; '#' comments allowed), referencing
     unit files ``<units_dir>/<utt>.txt``."""
@@ -203,7 +205,6 @@ def unit_stability(
     driver of the ZR19 bitrate metric (stable units -> fewer spurious
     symbols -> lower entropy)."""
     import h5py
-    import json
 
     import jax
     import jax.numpy as jnp

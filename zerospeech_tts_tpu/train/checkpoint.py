@@ -88,12 +88,18 @@ class CheckpointManager:
     def save(self, state: TrainState, wait: bool = False) -> None:
         """Save at the state's step. A step that already exists is
         OVERWRITTEN (a --load_model STEP rewind re-reaches old step
-        numbers; orbax would otherwise raise StepAlreadyExists mid-run)."""
+        numbers; orbax would otherwise raise StepAlreadyExists mid-run).
+        The overwrite path syncs before deleting and after re-saving to
+        keep the crash window (old step gone, new one not yet durable)
+        as narrow as orbax allows; older retained steps still cover a
+        crash inside it."""
         step = int(state.step)
-        if step in self.mgr.all_steps():
+        overwrite = step in self.mgr.all_steps()
+        if overwrite:
+            self.mgr.wait_until_finished()
             self.mgr.delete(step)
         self.mgr.save(step, args=ocp.args.StandardSave(state))
-        if wait:
+        if wait or overwrite:
             self.mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
