@@ -196,3 +196,60 @@ def test_uint8_wire_converter(tiny_hps):
     eu = c_q.encode_units(feats)
     agree_e = np.mean([(a == b).mean() for a, b in zip(ub, eu)])
     assert agree_e > 0.95, agree_e
+
+
+def test_sharded_device_dataset(tmp_path, tiny_hps):
+    """ShardedDeviceDataset: each device holds only its corpus shard
+    (targets replicated), samples locally, and train_many consumes the
+    globally-sharded batches unchanged."""
+    import h5py
+    import json as _json
+
+    from zerospeech_tts_tpu.data.device_dataset import ShardedDeviceDataset
+    from zerospeech_tts_tpu.parallel import make_mesh
+
+    h = tiny_hps.replace(batch_size=8, seg_len=16)
+    p = tmp_path / "ds.h5"
+    # utterance-coded features: constant value i for utterance i
+    n_utt = 10
+    with h5py.File(p, "w") as f:
+        for i in range(n_utt):
+            spk = "V001" if i == 0 else f"S{i:02d}"  # one target utterance
+            arr = np.full((60, h.n_feat), float(i), np.float32)
+            f.create_dataset(f"train/{spk}/{spk}_{i}/lin", data=arr)
+        f.attrs["speakers"] = _json.dumps(
+            {("V001" if i == 0 else f"S{i:02d}"): i % h.n_speakers for i in range(n_utt)}
+        )
+
+    mesh = make_mesh(data=4, model=1)
+    ds = ShardedDeviceDataset.from_h5(p, h, mesh, stats=False, target_speakers=["V001"])
+    assert len(ds.arena.sharding.device_set) == 4
+    # each device's shard contains its own utterances + the replicated target
+    shard_vals = []
+    for s in ds.arena.addressable_shards:
+        vals = set(np.unique(np.asarray(s.data))) - {0.0}  # 0 = padding/target
+        shard_vals.append(vals)
+    union = set().union(*shard_vals)
+    assert union == set(float(i) for i in range(1, n_utt))
+    for a, b in ((0, 1), (1, 2), (2, 3)):  # round-robin -> disjoint non-target sets
+        assert not (shard_vals[a] & shard_vals[b])
+
+    b = ds.sample_batch(jax.random.PRNGKey(0))
+    assert b["x"].shape == (8, h.seg_len, h.n_feat)
+    assert len(b["x"].sharding.device_set) == 4
+    assert (np.asarray(b["pair_dt"]) % h.downsample == 0).all()
+    # every device's batch slice draws only from its own shard
+    for i, s in enumerate(b["x"].addressable_shards):
+        vals = set(np.unique(np.asarray(s.data)))
+        assert vals <= shard_vals[i] | {0.0}, (i, vals, shard_vals[i])
+    # stage-2 reals come from the (replicated) target speaker everywhere
+    assert set(np.asarray(b["spk_real"]).tolist()) == {0}
+
+    from zerospeech_tts_tpu.train import Solver
+
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    state, m = sol.train_many(state, ds, "pretrain_AE", 3)
+    assert int(state.step) == 3 and np.isfinite(float(m["loss_rec"]))
+    state, m2 = sol.train_many(state, ds, "patchGAN", 1)
+    assert np.isfinite(float(m2["loss_d"]))

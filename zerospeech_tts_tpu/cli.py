@@ -279,13 +279,25 @@ def _make_training(args):
     if getattr(args, "device_data", False):
         import jax.numpy as jnp
 
-        from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
-
-        loader = DeviceDataset.from_h5(
-            args.dataset_path, hps, feat=args.feat,
-            target_speakers=args.targets,  # stats auto-loaded per hps.speaker_norm
-            dtype=jnp.bfloat16 if getattr(args, "data_bf16", False) else jnp.float32,
+        from zerospeech_tts_tpu.data.device_dataset import (
+            DeviceDataset,
+            ShardedDeviceDataset,
         )
+
+        dd_dtype = jnp.bfloat16 if getattr(args, "data_bf16", False) else jnp.float32
+        if mesh is not None:
+            # shard the feature arena over the mesh 'data' axis: each chip
+            # holds corpus/D and samples its batch slice locally
+            loader = ShardedDeviceDataset.from_h5(
+                args.dataset_path, hps, mesh, feat=args.feat,
+                target_speakers=args.targets, dtype=dd_dtype,
+            )
+        else:
+            loader = DeviceDataset.from_h5(
+                args.dataset_path, hps, feat=args.feat,
+                target_speakers=args.targets,  # stats auto-loaded per hps.speaker_norm
+                dtype=dd_dtype,
+            )
     else:
         loader = SegmentLoader(
             args.dataset_path,
@@ -346,14 +358,14 @@ def cmd_train1(args):
             from zerospeech_tts_tpu.parallel import replicate_state
 
             state = replicate_state(state, mesh)
-    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset, ShardedDeviceDataset
 
     bsh = None
     if mesh is not None:
         from zerospeech_tts_tpu.parallel import batch_sharding as _bs
 
         bsh = _bs(mesh)
-    if isinstance(loader, DeviceDataset):
+    if isinstance(loader, (DeviceDataset, ShardedDeviceDataset)):
         with _MaybeProfile(args):
             for mode, iters in phases:
                 if iters == 0:
@@ -390,14 +402,14 @@ def cmd_train2(args):
     if hasattr(loader, "reseed"):  # don't replay already-consumed batches
         loader.reseed(int(state.step))
     iters = args.iters_override or hps.patch_iters
-    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset, ShardedDeviceDataset
 
     bsh = None
     if mesh is not None:
         from zerospeech_tts_tpu.parallel import batch_sharding as _bs
 
         bsh = _bs(mesh)
-    if isinstance(loader, DeviceDataset):
+    if isinstance(loader, (DeviceDataset, ShardedDeviceDataset)):
         with _MaybeProfile(args):
             state = solver.train_device(
                 state, loader, "patchGAN", iters, logger=logger, ckpt=ckpt, batch_sharding=bsh
