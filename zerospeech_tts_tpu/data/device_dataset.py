@@ -117,14 +117,18 @@ def _arena_sample(arena, starts, lens, spk, weights, key, seg: int, batch: int):
     return x, spk[idx], idx, t0
 
 
-def _arena_batch(arena, starts, lens, spk, real_w, key, hps: Hps, batch: int, pairs: bool):
+def _arena_batch(
+    arena, starts, lens, spk, real_w, key, hps: Hps, batch: int, pairs: bool, x_w=None
+):
     """One training batch dict from an arena: stage-1 fields (incl. the
     reference's same-utterance pair x2 + grid-snapped offset pair_dt when
-    ``pairs``) + stage-2 reals."""
+    ``pairs``) + stage-2 reals. ``x_w`` overrides the uniform per-utterance
+    base weight of the x/pair draw (the sharded dataset uses 1/D on
+    utterances replicated to every shard so they aren't oversampled)."""
     h = hps
     k1, k2, k3 = jax.random.split(key, 3)
-    ones = jnp.ones_like(lens, jnp.float32)
-    x, spk_b, idx, t0 = _arena_sample(arena, starts, lens, spk, ones, k1, h.seg_len, batch)
+    base = jnp.ones_like(lens, jnp.float32) if x_w is None else x_w
+    x, spk_b, idx, t0 = _arena_sample(arena, starts, lens, spk, base, k1, h.seg_len, batch)
     x_real, spk_real, _, _ = _arena_sample(arena, starts, lens, spk, real_w, k2, h.seg_len, batch)
     out = {"x": x, "spk": spk_b, "x_real": x_real, "spk_real": spk_real}
     if not pairs:
@@ -227,18 +231,19 @@ class ShardedDeviceDataset:
     are round-robin partitioned; target-voice utterances are replicated
     to every shard so stage-2 real sampling keeps its exact semantics."""
 
-    def __init__(self, arena, starts, lens, spk, real_w, hps: Hps, mesh):
+    def __init__(self, arena, starts, lens, spk, real_w, x_w, hps: Hps, mesh):
         self.arena = arena      # [D, Lmax, F] sharded P('data')
         self.starts = starts    # [D, Umax] int32
         self.lens = lens        # [D, Umax] int32 (0 = padding slot)
         self.spk = spk          # [D, Umax] int32
         self.real_w = real_w    # [D, Umax] float32
+        self.x_w = x_w          # [D, Umax] float32: 1/D on replicated reals
         self.hps = hps
         self.mesh = mesh
 
     def tree_flatten(self):
         return (
-            (self.arena, self.starts, self.lens, self.spk, self.real_w),
+            (self.arena, self.starts, self.lens, self.spk, self.real_w, self.x_w),
             (self.hps, self.mesh),
         )
 
@@ -267,6 +272,7 @@ class ShardedDeviceDataset:
         rest_idx = [i for i in range(len(chunks)) if not real[i]]
         if not rest_idx:  # everything is "real": plain round-robin
             real_idx, rest_idx = [], list(range(len(chunks)))
+        n_real = len(real_idx)
         shards = []
         for d in range(d_sz):
             mine = real_idx + rest_idx[d::d_sz]
@@ -275,20 +281,23 @@ class ShardedDeviceDataset:
                     f"corpus has fewer non-target utterances ({len(rest_idx)}) "
                     f"than mesh data={d_sz} shards"
                 )
-            shards.append(
-                _pack_arena(
-                    [chunks[i] for i in mine],
-                    [spks[i] for i in mine],
-                    [bool(real[i]) for i in mine],
-                    dtype,
-                )
+            packed = _pack_arena(
+                [chunks[i] for i in mine],
+                [spks[i] for i in mine],
+                [bool(real[i]) for i in mine],
+                dtype,
             )
+            # replicated reals carry 1/D base weight in the x draw so the
+            # GLOBAL sampling distribution matches the unsharded dataset
+            x_w = np.ones(len(mine), np.float32)
+            x_w[:n_real] = 1.0 / d_sz
+            shards.append(packed + (x_w,))
 
         l_max = max(s[0].shape[0] for s in shards)
         u_max = max(s[1].shape[0] for s in shards)
 
         def pad(sh):
-            arena, starts, lens, spk, real_w = sh
+            arena, starts, lens, spk, real_w, x_w = sh
             arena = np.pad(arena, ((0, l_max - arena.shape[0]), (0, 0)))
             pu = u_max - starts.shape[0]
             # padding utterance slots: len 0 -> zero sampling weight
@@ -298,6 +307,7 @@ class ShardedDeviceDataset:
                 np.pad(lens, (0, pu)),
                 np.pad(spk, (0, pu)),
                 np.pad(real_w, (0, pu)),
+                np.pad(x_w, (0, pu)),
             )
 
         stacked = [np.stack(parts) for parts in zip(*(pad(s) for s in shards))]
@@ -321,16 +331,17 @@ class ShardedDeviceDataset:
             raise ValueError(f"batch_size {batch} must divide by mesh data={d_sz}")
         b_loc = batch // d_sz
 
-        def local(key, arena, starts, lens, spk, real_w):
+        def local(key, arena, starts, lens, spk, real_w, x_w):
             k = jax.random.fold_in(key, jax.lax.axis_index("data"))
             return _arena_batch(
-                arena[0], starts[0], lens[0], spk[0], real_w[0], k, h, b_loc, pairs
+                arena[0], starts[0], lens[0], spk[0], real_w[0], k, h, b_loc, pairs,
+                x_w=x_w[0],
             )
 
         return shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(),) + (P("data"),) * 5,
+            in_specs=(P(),) + (P("data"),) * 6,
             out_specs=P("data"),
             check_rep=False,
-        )(rng, self.arena, self.starts, self.lens, self.spk, self.real_w)
+        )(rng, self.arena, self.starts, self.lens, self.spk, self.real_w, self.x_w)
