@@ -332,3 +332,37 @@ def test_12_train1_from_external_ckpt_dir(pipeline, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "resumed from step" in out
     assert any(new_ckpt.iterdir())
+
+
+def test_13_convert_from_wavs(pipeline):
+    """--from-wavs DIR: corpus conversion straight from test wavs (the
+    literal ref --test stack, SURVEY.md §3.4) — on-device frontend, no h5
+    features. Source stats are global (out-of-corpus contract), so units
+    may differ slightly from the h5 path; artifacts + shapes must match."""
+    p = pipeline
+    out = p["root"] / "result_from_wavs"
+    cli_main(
+        [
+            "convert",
+            "--platform", "cpu",
+            "-hps", str(p["hps"]),
+            "-dataset_path", str(p["ds"]),
+            "-ckpt_dir", str(p["ckpt"]),
+            "-result_dir", str(out),
+            "--from-wavs", str(p["corpus"] / "test"),
+            "--target", "V001",
+            "--gl-iters", "4",
+            "--batch-size", "2",
+        ]
+    )
+    units = sorted((out / "units").glob("*.txt"))
+    ref_units = sorted((p["out"] / "units").glob("*.txt"))
+    assert [u.name for u in units] == [u.name for u in ref_units]
+    for uf, rf in zip(units, ref_units):
+        a, b = read_units(uf), read_units(rf)
+        assert a.shape == b.shape  # same trim -> same frame count
+        assert set(np.unique(a)).issubset({0, 1})
+    wavs = sorted((out / "V001").glob("*.wav"))
+    assert len(wavs) == 2
+    y = load_wav(wavs[0], 16000)
+    assert len(y) > 1000 and np.isfinite(y).all()

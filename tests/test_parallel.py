@@ -253,3 +253,92 @@ def test_sharded_device_dataset(tmp_path, tiny_hps):
     assert int(state.step) == 3 and np.isfinite(float(m["loss_rec"]))
     state, m2 = sol.train_many(state, ds, "patchGAN", 1)
     assert np.isfinite(float(m2["loss_d"]))
+
+
+def _wav_test_setup(tiny_hps, n_list=(3000, 5200)):
+    import numpy as np
+
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    wavs = []
+    for i, n in enumerate(n_list):
+        t = np.arange(n) / 16000.0
+        wavs.append(
+            (0.5 * np.sin(2 * np.pi * (200 + 60 * i) * t)
+             + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        )
+    return h, acfg, state, wavs
+
+
+def test_wav_program_matches_feature_path(tiny_hps):
+    """The fused PCM-in program (on-device f32 frontend, int16 wire) must
+    agree with the two-step path (host get_spectrograms -> bf16 feature
+    wire -> feature program) — same unit shapes, near-identical bits."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+
+    h, acfg, state, wavs = _wav_test_setup(tiny_hps)
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    u_wav, w_wav = conv.convert_wavs_multi(wavs, [0, 1], trim=False)
+
+    feats = [dsp_audio.get_spectrograms(w, acfg, bucket_frames=32)[1] for w in wavs]
+    u_ft, w_ft = conv.convert_features_multi(feats, [0, 1])
+
+    for a, b in zip(u_wav, u_ft):
+        assert a.shape == b.shape
+        assert (a == b).mean() > 0.97, (a != b).mean()
+    for k in range(2):
+        for a, b in zip(w_wav[k], w_ft[k]):
+            assert a.shape == b.shape
+            assert np.isfinite(a.astype(np.float32)).all()
+
+
+def test_wav_program_mesh_matches_single(tiny_hps):
+    """convert_wavs_multi sharded over the 'data' axis reproduces the
+    single-device program (units exactly, PCM to 1 LSB)."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.convert import Converter
+
+    h, acfg, state, wavs = _wav_test_setup(tiny_hps, n_list=(3000, 3100))
+    c0 = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    u0, w0 = c0.convert_wavs_multi(wavs, [0], trim=False)
+    mesh = make_mesh(data=2, model=1)
+    c1 = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32, mesh=mesh)
+    u1, w1 = c1.convert_wavs_multi(wavs, [0], trim=False)
+    for a, b in zip(u0, u1):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(w0[0], w1[0]):
+        assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_wav_program_speaker_norm_contract(tiny_hps):
+    """With stats present the wav path requires tgt_names (denorm would
+    silently use global stats otherwise) and defaults the unknown source
+    side to '__global__' — the documented out-of-corpus contract."""
+    import numpy as np
+    import pytest as _pytest
+
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+    h, acfg, state, wavs = _wav_test_setup(tiny_hps, n_list=(3000,))
+    f = h.n_feat
+    stats = SpeakerStats(
+        mean={"__global__": np.full(f, 0.4, np.float32), "V001": np.full(f, 0.5, np.float32)},
+        std={"__global__": np.full(f, 0.2, np.float32), "V001": np.full(f, 0.25, np.float32)},
+    )
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=1, bucket_frames=32, stats=stats)
+    with _pytest.raises(ValueError, match="tgt_names"):
+        conv.convert_wavs_multi(wavs, [0], trim=False)
+    units, out = conv.convert_wavs_multi(wavs, [0], tgt_names=["V001"], trim=False)
+    assert units[0].shape[1] == h.emb_size
+    assert np.isfinite(out[0][0].astype(np.float32)).all()

@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--from-wavs", default=None, metavar="DIR",
+                   help="convert straight from a directory of wavs (ref --test "
+                        "reads test/*.wav): on-device frontend, no h5 features "
+                        "needed (-dataset_path still supplies the speaker map/stats)")
     p.add_argument("--units-only", action="store_true",
                    help="dump discrete units without synthesis (ref enc_only)")
     p.add_argument("--bf16", action="store_true",
@@ -485,16 +489,31 @@ def cmd_convert(args):
     conv = _load_converter(args, hps, acfg)
     t0 = time.time()
     with _MaybeProfile(args):
-        out = convert_corpus(
-            conv,
-            args.dataset_path,
-            args.result_dir,
-            {t: speakers[t] for t in targets},
-            split=args.split,
-            sr=acfg.sr,
-            limit=args.limit,
-            units_only=args.units_only,
-        )
+        if args.from_wavs:
+            if args.units_only:
+                sys.exit("--units-only is not supported with --from-wavs yet; "
+                         "preprocess to h5 and use the h5 path for units-only dumps")
+            from zerospeech_tts_tpu.convert import convert_wav_dir
+
+            out = convert_wav_dir(
+                conv,
+                args.from_wavs,
+                args.result_dir,
+                {t: speakers[t] for t in targets},
+                sr=acfg.sr,
+                limit=args.limit,
+            )
+        else:
+            out = convert_corpus(
+                conv,
+                args.dataset_path,
+                args.result_dir,
+                {t: speakers[t] for t in targets},
+                split=args.split,
+                sr=acfg.sr,
+                limit=args.limit,
+                units_only=args.units_only,
+            )
     dt = time.time() - t0
     print(
         f"converted {out['n_utterances']} utterances x {len(targets)} targets "

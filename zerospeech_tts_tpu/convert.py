@@ -98,8 +98,53 @@ class Converter:
         self.decoder = Decoder(hps)
         self._progs: dict = {}
         self._enc_progs: dict = {}
+        self._wav_progs: dict = {}
 
     # ------------------------------------------------------------ programs
+
+    def _gl_method(self, n_frames: int):
+        """Vocoder backend for a bucket: the whole-loop Pallas GL kernel
+        where it can sit under the per-utterance vmap, else the fused
+        matmul XLA path (stft_method overrides)."""
+        gl_method = self.stft_method
+        if gl_method is None and jax.default_backend() == "tpu":
+            from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_vmap_supported
+
+            if pallas_gl_vmap_supported(self.acfg, n_frames):
+                gl_method = "pallas"  # whole-GL-in-VMEM kernel (1.5x XLA path)
+        return gl_method
+
+    def _convert_core(self, enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method):
+        """Shared traced tail of every conversion program: normalized f32
+        features [B, T, F] -> (bit-packed units, per-target PCM16)."""
+        acfg = self.acfg
+        cd = self.compute_dtype
+        if cd != jnp.float32:
+            enc_params = jax.tree.map(
+                lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, enc_params
+            )
+            dec_params = jax.tree.map(
+                lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
+            )
+        logits = self.encoder.apply(enc_params, x.astype(cd)).astype(jnp.float32)
+        units = hard_units(logits)
+        z = units.astype(cd)
+
+        vocoder = (
+            dsp_audio.spectrogram2wav if self.feat == "lin" else dsp_audio.melspectrogram2wav
+        )
+
+        def decode_one(spk_row, mean_row, std_row):
+            xh = self.decoder.apply(dec_params, z, spk_row).astype(jnp.float32)
+            xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
+            wav = jax.vmap(
+                lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=gl_method)
+            )(xh)
+            return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+
+        pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
+        packed = jnp.packbits(units.astype(jnp.uint8), axis=-1)
+        return packed, pcm
 
     def _program(self, n_frames: int):
         """One XLA program: [B, T, F] padded lin features (bf16 on the wire)
@@ -114,13 +159,7 @@ class Converter:
         cached = self._progs.get((n_frames, self.wire))
         if cached is not None:
             return cached
-        hps, acfg = self.hps, self.acfg
-        gl_method = self.stft_method
-        if gl_method is None and jax.default_backend() == "tpu":
-            from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_vmap_supported
-
-            if pallas_gl_vmap_supported(acfg, n_frames):
-                gl_method = "pallas"  # whole-GL-in-VMEM kernel (1.5x XLA path)
+        gl_method = self._gl_method(n_frames)
 
         def run(enc_params, dec_params, x, spk, tgt_mean, tgt_std, wire_lo, wire_scale):
             # spk: [n_targets, B] — encode once, decode per target (features
@@ -129,40 +168,48 @@ class Converter:
             # speaker_norm is off). wire_lo/wire_scale: [B] per-utterance
             # uint8 dequantization (unused constants on the bf16 wire).
             cd = self.compute_dtype
-            if cd != jnp.float32:
-                enc_params = jax.tree.map(
-                    lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, enc_params
-                )
-                dec_params = jax.tree.map(
-                    lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
-                )
             if x.dtype == jnp.uint8:
                 x = (
                     x.astype(cd) * wire_scale[:, None, None].astype(cd)
                     + wire_lo[:, None, None].astype(cd)
                 )
-            logits = self.encoder.apply(enc_params, x.astype(cd)).astype(jnp.float32)
-            units = hard_units(logits)
-            z = units.astype(cd)
-
-            vocoder = (
-                dsp_audio.spectrogram2wav if self.feat == "lin" else dsp_audio.melspectrogram2wav
-            )
-
-            def decode_one(spk_row, mean_row, std_row):
-                xh = self.decoder.apply(dec_params, z, spk_row).astype(jnp.float32)
-                xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
-                wav = jax.vmap(
-                    lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=gl_method)
-                )(xh)
-                return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
-
-            pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
-            packed = jnp.packbits(units.astype(jnp.uint8), axis=-1)
-            return packed, pcm
+            return self._convert_core(enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method)
 
         prog = jax.jit(run)
         self._progs[(n_frames, self.wire)] = prog
+        return prog
+
+    def _wav_program(self, n_frames: int):
+        """PCM-in fused program (the reference --test stack starts from
+        wavs, SURVEY.md §3.4): int16 PCM [B, n_samp] -> on-device frontend
+        (preemphasis/STFT/mel/dB-norm, f32) -> per-utterance source z-norm
+        -> encode -> units -> decode per target -> Griffin-Lim -> PCM16.
+
+        One dispatch for the WHOLE stack: the features never exist on the
+        host and never cross the wire (int16 PCM is ~22% fewer bytes than
+        uint8 lin features at the 200-sample hop), and the frontend runs
+        in f32 on-device — strictly higher fidelity than any feature wire.
+        """
+        cached = self._wav_progs.get(n_frames)
+        if cached is not None:
+            return cached
+        acfg = self.acfg
+        gl_method = self._gl_method(n_frames)
+        # matmul 'fused' frontend: the Pallas frontend kernel cannot sit
+        # under the per-utterance vmap of a batched program
+        fe_method = dsp_audio.resolve_method(acfg, None)
+
+        def run(enc_params, dec_params, pcm, spk, src_mean, src_std, tgt_mean, tgt_std):
+            y = pcm.astype(jnp.float32) * (1.0 / 32767.0)
+            mel, mag = jax.vmap(
+                lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
+            )(y)
+            x = mag if self.feat == "lin" else mel
+            x = (x - src_mean[:, None, :]) / src_std[:, None, :]
+            return self._convert_core(enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method)
+
+        prog = jax.jit(run)
+        self._wav_progs[n_frames] = prog
         return prog
 
     def _wire_batch(self, xs: list[np.ndarray]):
@@ -336,6 +383,97 @@ class Converter:
         units, wavs = self.convert_features_multi(feats_list, [spk_id])
         return list(zip(units, wavs[0]))
 
+    def convert_wavs_multi(
+        self,
+        wavs: list[np.ndarray],
+        spk_ids: list[int],
+        tgt_names: list[str] | None = None,
+        src_speakers: list[str] | None = None,
+        trim: bool = True,
+    ):
+        """Batch voice conversion STRAIGHT from wavs — the shape of the
+        reference's --test stack (SURVEY.md §3.4 reads english/test/*.wav,
+        not precomputed features): trim on host, then ONE fused XLA
+        program per length bucket runs frontend + encode + decode(all
+        targets) + Griffin-Lim. Same returns as convert_features_multi.
+
+        With speaker_norm on, src_speakers defaults to '__global__' stats
+        for every utterance — the only well-defined normalization for
+        out-of-corpus audio (same contract as convert_wav); pass the real
+        source names when the wavs come from corpus speakers.
+        """
+        acfg, hps = self.acfg, self.hps
+        wavs = [np.asarray(w, np.float32) for w in wavs]
+        if trim:
+            wavs = [trim_silence(w, acfg.top_db) for w in wavs]
+        n = len(wavs)
+        if self.stats is not None:
+            if tgt_names is None:
+                raise ValueError(
+                    "speaker_norm is on (Converter has stats) but tgt_names "
+                    "was not given — conversion would denormalize with the "
+                    "WRONG (global) statistics. Pass per-target names, or "
+                    "build the Converter with stats=None to opt out."
+                )
+            if src_speakers is None:
+                src_speakers = ["__global__"] * n
+            s_mean, s_std = self.stats.arrays_for(src_speakers)
+            t_mean, t_std = self.stats.arrays_for(tgt_names)
+        else:
+            s_mean = np.zeros((n, hps.n_feat), np.float32)
+            s_std = np.ones((n, hps.n_feat), np.float32)
+            t_mean = np.zeros((len(spk_ids), hps.n_feat), np.float32)
+            t_std = np.ones((len(spk_ids), hps.n_feat), np.float32)
+        t_mean_d, t_std_d = jnp.asarray(t_mean), jnp.asarray(t_std)
+
+        units_out: list = [None] * n
+        wavs_out: list[list] = [[None] * n for _ in spk_ids]
+        buckets: dict[int, list[int]] = {}
+        for i in np.argsort([-len(w) for w in wavs], kind="stable"):
+            t = dsp_audio.n_frames_for(len(wavs[int(i)]), acfg)
+            tb = -(-t // self.bucket_frames) * self.bucket_frames
+            buckets.setdefault(tb, []).append(int(i))
+
+        ds, hop = hps.downsample, acfg.hop_length
+        spk_mat = np.tile(np.asarray(spk_ids, np.int32)[:, None], (1, self.batch_size))
+        inflight = []
+        for tb, idxs in buckets.items():
+            prog = self._wav_program(tb)
+            n_samp = tb * hop - 1  # canonical bucket length (pad_to_bucket)
+            for c0 in range(0, len(idxs), self.batch_size):
+                chunk = idxs[c0 : c0 + self.batch_size]
+                pcm = np.zeros((self.batch_size, n_samp), np.int16)
+                sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
+                ss = np.ones((self.batch_size, hps.n_feat), np.float32)
+                for j, i in enumerate(chunk):
+                    w = np.clip(np.rint(wavs[i] * 32767.0), -32768, 32767).astype(np.int16)
+                    pcm[j, : len(w)] = w
+                    sm[j], ss[j] = s_mean[i], s_std[i]
+                x, sm_d, ss_d = jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)
+                if self.mesh is not None:
+                    x = jax.device_put(x, self._batch_sharding)
+                    sm_d = jax.device_put(sm_d, self._batch_sharding)
+                    ss_d = jax.device_put(ss_d, self._batch_sharding)
+                inflight.append(
+                    (
+                        chunk,
+                        *prog(
+                            self.enc_params, self.dec_params, x, jnp.asarray(spk_mat),
+                            sm_d, ss_d, t_mean_d, t_std_d,
+                        ),
+                    )
+                )
+
+        for chunk, packed_d, pcm_d in inflight:
+            packed, pcm = np.asarray(packed_d), np.asarray(pcm_d)
+            units = np.unpackbits(packed, axis=-1)[..., : hps.emb_size]
+            for j, i in enumerate(chunk):
+                t_true = dsp_audio.n_frames_for(len(wavs[i]), acfg)
+                units_out[i] = units[j][: t_true // ds].astype(np.int32)
+                for k in range(len(spk_ids)):
+                    wavs_out[k][i] = pcm[k, j][: max(t_true - 1, 1) * hop]
+        return units_out, wavs_out
+
     def convert_wav(self, wav: np.ndarray, spk_id: int, trim: bool = True, tgt_name=None):
         """Single-utterance VC (ref --test_single, SURVEY.md §3.5).
 
@@ -343,20 +481,16 @@ class Converter:
         on the input is z-scored with the corpus GLOBAL stats — the only
         well-defined choice for out-of-corpus audio. The target side still
         needs the real target name for correct denormalization."""
-        if trim:
-            wav = trim_silence(wav, self.acfg.top_db)
-        mel, lin = dsp_audio.get_spectrograms(wav, self.acfg, bucket_frames=self.bucket_frames)
-        feats = lin if self.feat == "lin" else mel
         if self.stats is not None and tgt_name is None:
             raise ValueError(
                 "speaker_norm is on: convert_wav needs tgt_name to denormalize "
                 "with the target speaker's statistics"
             )
-        units, wavs = self.convert_features_multi(
-            [feats],
+        units, wavs = self.convert_wavs_multi(
+            [wav],
             [spk_id],
             tgt_names=[tgt_name] if self.stats is not None else None,
-            src_speakers=["__global__"] if self.stats is not None else None,
+            trim=trim,
         )
         return units[0], wavs[0][0]
 
@@ -405,6 +539,47 @@ def convert_corpus(
     )
     for utt, units in zip(names, units_list):
         write_units(result_dir / "units" / f"{utt}.txt", units)
+    for k, tgt_name in enumerate(tgt_names):
+        for utt, wav in zip(names, wavs_per_tgt[k]):
+            save_wav(result_dir / tgt_name / f"{utt}.wav", wav, sr)
+            n_wav += 1
+            if progress:
+                progress(tgt_name, utt)
+    return {"n_utterances": len(names), "n_wavs": n_wav, "result_dir": str(result_dir)}
+
+
+def convert_wav_dir(
+    converter: Converter,
+    wav_dir: str | Path,
+    result_dir: str | Path,
+    target_speakers: dict[str, int],
+    sr: int = 16000,
+    limit: int | None = None,
+    progress=None,
+) -> dict:
+    """Corpus conversion straight from a directory of wavs — the literal
+    shape of the reference --test stack (SURVEY.md §3.4 iterates
+    english/test/*.wav). No preprocessed h5 needed for the features; the
+    fused PCM-in program computes them on-device. Source speakers are
+    unknown for a flat test dir, so speaker_norm (if on) uses the corpus
+    GLOBAL statistics (the convert_wav contract)."""
+    result_dir = Path(result_dir)
+    wav_paths = sorted(Path(wav_dir).glob("*.wav"))
+    if limit:
+        wav_paths = wav_paths[:limit]
+    if not wav_paths:
+        raise ValueError(f"no .wav files in {wav_dir}")
+    ys = [load_wav(p, sr) for p in wav_paths]
+    names = [p.stem for p in wav_paths]
+    tgt_names = list(target_speakers)
+    units_list, wavs_per_tgt = converter.convert_wavs_multi(
+        ys,
+        [target_speakers[t] for t in tgt_names],
+        tgt_names=tgt_names if converter.stats is not None else None,
+    )
+    for utt, units in zip(names, units_list):
+        write_units(result_dir / "units" / f"{utt}.txt", units)
+    n_wav = 0
     for k, tgt_name in enumerate(tgt_names):
         for utt, wav in zip(names, wavs_per_tgt[k]):
             save_wav(result_dir / tgt_name / f"{utt}.wav", wav, sr)
