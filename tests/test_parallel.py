@@ -342,3 +342,18 @@ def test_wav_program_speaker_norm_contract(tiny_hps):
     units, out = conv.convert_wavs_multi(wavs, [0], tgt_names=["V001"], trim=False)
     assert units[0].shape[1] == h.emb_size
     assert np.isfinite(out[0][0].astype(np.float32)).all()
+
+
+def test_wav_units_only_matches_full(tiny_hps):
+    """encode_units_from_wavs (ref enc_only from wavs) must produce exactly
+    the units of the full PCM-in conversion program (same f32 frontend)."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.convert import Converter
+
+    h, acfg, state, wavs = _wav_test_setup(tiny_hps)
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    u_full, _ = conv.convert_wavs_multi(wavs, [0], trim=False)
+    u_only = conv.encode_units_from_wavs(wavs, trim=False)
+    for a, b in zip(u_full, u_only):
+        np.testing.assert_array_equal(a, b)

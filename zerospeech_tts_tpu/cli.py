@@ -490,9 +490,6 @@ def cmd_convert(args):
     t0 = time.time()
     with _MaybeProfile(args):
         if args.from_wavs:
-            if args.units_only:
-                sys.exit("--units-only is not supported with --from-wavs yet; "
-                         "preprocess to h5 and use the h5 path for units-only dumps")
             from zerospeech_tts_tpu.convert import convert_wav_dir
 
             out = convert_wav_dir(
@@ -502,6 +499,7 @@ def cmd_convert(args):
                 {t: speakers[t] for t in targets},
                 sr=acfg.sr,
                 limit=args.limit,
+                units_only=args.units_only,
             )
         else:
             out = convert_corpus(

@@ -253,6 +253,82 @@ class Converter:
         self._enc_progs[(n_frames, self.wire)] = prog
         return prog
 
+    def _wav_encode_program(self, n_frames: int):
+        """Units-only PCM-in program: int16 wav -> on-device frontend ->
+        source z-norm -> encode -> packed MBV bits (ref enc_only from wavs)."""
+        cached = self._wav_progs.get(("enc", n_frames))
+        if cached is not None:
+            return cached
+        acfg = self.acfg
+        fe_method = dsp_audio.resolve_method(acfg, None)
+
+        def run(enc_params, pcm, src_mean, src_std):
+            y = pcm.astype(jnp.float32) * (1.0 / 32767.0)
+            mel, mag = jax.vmap(
+                lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
+            )(y)
+            x = mag if self.feat == "lin" else mel
+            x = (x - src_mean[:, None, :]) / src_std[:, None, :]
+            units = hard_units(self.encoder.apply(enc_params, x))
+            return jnp.packbits(units.astype(jnp.uint8), axis=-1)
+
+        prog = jax.jit(run)
+        self._wav_progs[("enc", n_frames)] = prog
+        return prog
+
+    def encode_units_from_wavs(
+        self,
+        wavs: list[np.ndarray],
+        src_speakers: list[str] | None = None,
+        trim: bool = True,
+    ) -> list[np.ndarray]:
+        """Discrete-unit dump straight from wavs, no synthesis (ref
+        enc_only x --test: the bitrate-only submission path from test
+        audio). Source normalization follows the convert_wavs_multi
+        contract ('__global__' when src_speakers is omitted)."""
+        acfg, hps = self.acfg, self.hps
+        wavs = [np.asarray(w, np.float32) for w in wavs]
+        if trim:
+            wavs = [trim_silence(w, acfg.top_db) for w in wavs]
+        n = len(wavs)
+        if self.stats is not None:
+            if src_speakers is None:
+                src_speakers = ["__global__"] * n
+            s_mean, s_std = self.stats.arrays_for(src_speakers)
+        else:
+            s_mean = np.zeros((n, hps.n_feat), np.float32)
+            s_std = np.ones((n, hps.n_feat), np.float32)
+
+        out: list = [None] * n
+        buckets: dict[int, list[int]] = {}
+        for i in np.argsort([-len(w) for w in wavs], kind="stable"):
+            t = dsp_audio.n_frames_for(len(wavs[int(i)]), acfg)
+            tb = -(-t // self.bucket_frames) * self.bucket_frames
+            buckets.setdefault(tb, []).append(int(i))
+        ds, hop = hps.downsample, acfg.hop_length
+        inflight = []
+        for tb, idxs in buckets.items():
+            prog = self._wav_encode_program(tb)
+            n_samp = tb * hop - 1
+            for c0 in range(0, len(idxs), self.batch_size):
+                chunk = idxs[c0 : c0 + self.batch_size]
+                pcm = np.zeros((self.batch_size, n_samp), np.int16)
+                sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
+                ss = np.ones((self.batch_size, hps.n_feat), np.float32)
+                for j, i in enumerate(chunk):
+                    w = np.clip(np.rint(wavs[i] * 32767.0), -32768, 32767).astype(np.int16)
+                    pcm[j, : len(w)] = w
+                    sm[j], ss[j] = s_mean[i], s_std[i]
+                inflight.append(
+                    (chunk, prog(self.enc_params, jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)))
+                )
+        for chunk, packed_d in inflight:
+            units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : hps.emb_size]
+            for j, i in enumerate(chunk):
+                t_true = dsp_audio.n_frames_for(len(wavs[i]), acfg)
+                out[i] = units[j][: t_true // ds].astype(np.int32)
+        return out
+
     def encode_units(self, feats_list: list[np.ndarray], src_speakers=None) -> list[np.ndarray]:
         """Dump discrete units for a feature list without synthesis
         (ref enc_only; the challenge bitrate-only submission path)."""
@@ -555,6 +631,7 @@ def convert_wav_dir(
     target_speakers: dict[str, int],
     sr: int = 16000,
     limit: int | None = None,
+    units_only: bool = False,
     progress=None,
 ) -> dict:
     """Corpus conversion straight from a directory of wavs — the literal
@@ -572,6 +649,11 @@ def convert_wav_dir(
     ys = [load_wav(p, sr) for p in wav_paths]
     names = [p.stem for p in wav_paths]
     tgt_names = list(target_speakers)
+    if units_only:
+        units_list = converter.encode_units_from_wavs(ys)
+        for utt, units in zip(names, units_list):
+            write_units(result_dir / "units" / f"{utt}.txt", units)
+        return {"n_utterances": len(names), "n_wavs": 0, "result_dir": str(result_dir)}
     units_list, wavs_per_tgt = converter.convert_wavs_multi(
         ys,
         [target_speakers[t] for t in tgt_names],
