@@ -200,7 +200,7 @@ class Converter:
         fe_method = dsp_audio.resolve_method(acfg, None)
 
         def run(enc_params, dec_params, pcm, spk, src_mean, src_std, tgt_mean, tgt_std):
-            y = pcm.astype(jnp.float32) * (1.0 / 32767.0)
+            y = pcm.astype(jnp.float32) * (1.0 / 32768.0)  # load_wav convention: bit-exact wire for PCM16 sources
             mel, mag = jax.vmap(
                 lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
             )(y)
@@ -263,7 +263,7 @@ class Converter:
         fe_method = dsp_audio.resolve_method(acfg, None)
 
         def run(enc_params, pcm, src_mean, src_std):
-            y = pcm.astype(jnp.float32) * (1.0 / 32767.0)
+            y = pcm.astype(jnp.float32) * (1.0 / 32768.0)  # load_wav convention: bit-exact wire for PCM16 sources
             mel, mag = jax.vmap(
                 lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
             )(y)
@@ -316,7 +316,7 @@ class Converter:
                 sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
                 ss = np.ones((self.batch_size, hps.n_feat), np.float32)
                 for j, i in enumerate(chunk):
-                    w = np.clip(np.rint(wavs[i] * 32767.0), -32768, 32767).astype(np.int16)
+                    w = np.clip(np.rint(wavs[i] * 32768.0), -32768, 32767).astype(np.int16)
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
                 inflight.append(
@@ -522,7 +522,7 @@ class Converter:
                 sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
                 ss = np.ones((self.batch_size, hps.n_feat), np.float32)
                 for j, i in enumerate(chunk):
-                    w = np.clip(np.rint(wavs[i] * 32767.0), -32768, 32767).astype(np.int16)
+                    w = np.clip(np.rint(wavs[i] * 32768.0), -32768, 32767).astype(np.int16)
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
                 x, sm_d, ss_d = jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)

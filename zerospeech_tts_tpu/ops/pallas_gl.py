@@ -264,7 +264,7 @@ def griffin_lim_pallas(
     ]
     if streaming:
         kernel = functools.partial(_kernel_stream, **kernel_kw)
-        mag_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        mag_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
         scratch += [
             pltpu.VMEM((2, tb, fp), jnp.float32),  # double-buffered mag tiles
             pltpu.SemaphoreType.DMA((2,)),
