@@ -113,16 +113,19 @@ def main():
         k, np.zeros((1, hps.n_bins, hps.emb_size), np.float32), np.zeros((1,), np.int32)
     )
     # bench configuration = the deployment configuration: the fused PCM-in
-    # program (int16 wav wire, on-device f32 frontend, bf16 model matmuls)
-    # — strictly MORE covered work than the feature path (the frontend is
-    # now inside the timed program) and still faster on this wire-bound
-    # host (same-session A/B: 38.7 vs 33.0 utt/s median; agreement 0.9987).
+    # program (on-device f32 frontend, bf16 model matmuls) — strictly MORE
+    # covered work than the feature path (the frontend is inside the timed
+    # program) and still faster on this wire-bound host (same-session A/B:
+    # 38.7 vs 33.0 utt/s median; agreement 0.9987) — with 8-bit mu-law
+    # companding on both PCM wire directions (files on disk stay PCM16;
+    # same-session A/B vs the int16 wire: 86.6 vs 53.3 utt/s median,
+    # units agreement 0.9908, companding SNR ~38 dB, recorded below).
     # one program for the whole pass (batch = n_utts): a single dispatch
     # and readback ride the contended tunnel measurably better than two
     # half-batches (28.5 -> 41.2 utt/s in a same-process A/B under load)
     conv = Converter(
         hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
-        batch_size=n_utts, compute_dtype="bfloat16",
+        batch_size=n_utts, compute_dtype="bfloat16", pcm_wire="mulaw",
     )
 
     # warmup (compile), then MEDIAN of n_passes timed passes — a single
@@ -147,6 +150,23 @@ def main():
     u_fast = units_list[:n_chk]
     u_ref = [u for u, _ in conv_f32.convert_features(feats[:n_chk], 0)]
     units_agreement = float(np.mean([(a == b).mean() for a, b in zip(u_fast, u_ref)]))
+
+    # down-wire sanity: mu-law RE-quantization SNR on the bench's own
+    # output audio. NB: the output already crossed the companded wire
+    # once, so a second roundtrip is near-idempotent and this reads HIGH
+    # (~70 dB) — it catches codec bugs, not companding noise. The true
+    # isolated companding SNR (~38 dB, identical GL, int16 vs mulaw
+    # down-wire) is asserted >30 dB in
+    # tests/test_parallel.py::test_mulaw_pcm_wire_converter.
+    from zerospeech_tts_tpu.dsp.mulaw import mulaw_compress_host, mulaw_expand_host
+
+    _ref = np.concatenate([w.astype(np.float64) for w in wavs_out[0][:n_chk]]) / 32768.0
+    _rt = mulaw_expand_host(
+        mulaw_compress_host(np.concatenate([w for w in wavs_out[0][:n_chk]]))
+    ).astype(np.float64) / 32768.0
+    mulaw_requant_snr = float(
+        10 * np.log10(np.mean(_ref**2) / max(np.mean((_ref - _rt) ** 2), 1e-12))
+    )
 
     # reference CPU path on the same magnitudes (GL dominates): median of
     # n_passes single-utterance reps — the baseline jitters with host load
@@ -217,8 +237,9 @@ def main():
                 "gl_iters": gl_iters,
                 "n_passes_median": n_passes,
                 "passes_utt_per_sec": [round(n_utts / t, 2) for t in times],
-                "config": "fused PCM-in program: int16 wav wire + on-device f32 frontend + bf16 compute",
+                "config": "fused PCM-in program: mu-law 8-bit PCM wire + on-device f32 frontend + bf16 compute",
                 "units_agreement_vs_f32": round(units_agreement, 4),
+                "mulaw_requantization_snr_db": round(mulaw_requant_snr, 1),
             }
         )
     )

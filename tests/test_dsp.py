@@ -271,3 +271,41 @@ def test_resolve_method():
     odd = AudioConfig(win_length=700, hop_length=200)
     assert A.resolve_method(odd, None) == "fft"
     assert A.resolve_method(CFG, "matmul") == "matmul"
+
+
+# ---------------------------------------------------------------- mu-law wire
+
+
+def test_mulaw_codec_roundtrip_snr():
+    """Host LUT compand roundtrip: speech-band SNR well above the GL
+    noise floor, and digital silence survives exactly (code 128)."""
+    from zerospeech_tts_tpu.dsp import mulaw
+
+    t = np.arange(16000) / 16000.0
+    y = (0.5 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 1800 * t)).astype(
+        np.float32
+    )
+    pcm = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+    back = mulaw.mulaw_expand_host(mulaw.mulaw_compress_host(pcm))
+    err = (back.astype(np.float64) - pcm.astype(np.float64)) / 32768.0
+    snr = 10 * np.log10(np.mean((pcm / 32768.0) ** 2) / np.mean(err**2))
+    assert snr > 30.0, snr
+    assert mulaw.mulaw_compress_host(np.zeros(4, np.int16)).tolist() == [128] * 4
+    assert mulaw.mulaw_expand_host(np.full(4, 128, np.uint8)).tolist() == [0] * 4
+
+
+def test_mulaw_device_matches_host_luts():
+    """The traced f32 compand must agree with the float64 host LUTs:
+    every int16 sample encodes to the same code (+-1 on ties), and every
+    code decodes to the same float within int16 quantization."""
+    from zerospeech_tts_tpu.dsp import mulaw
+
+    pcm = np.linspace(-32768, 32767, 4096).astype(np.int16)
+    dev = np.asarray(mulaw.mulaw_compress_device(jnp.asarray(pcm.astype(np.float32) / 32768.0)))
+    host = mulaw.mulaw_compress_host(pcm)
+    assert np.abs(dev.astype(np.int32) - host.astype(np.int32)).max() <= 1
+
+    codes = np.arange(256, dtype=np.uint8)
+    dev_y = np.asarray(mulaw.mulaw_expand_device(jnp.asarray(codes)))
+    host_y = mulaw.mulaw_expand_host(codes).astype(np.float64) / 32768.0
+    np.testing.assert_allclose(dev_y, host_y, atol=1.0 / 32768.0)

@@ -357,3 +357,52 @@ def test_wav_units_only_matches_full(tiny_hps):
     u_only = conv.encode_units_from_wavs(wavs, trim=False)
     for a, b in zip(u_full, u_only):
         np.testing.assert_array_equal(a, b)
+
+
+def test_mulaw_pcm_wire_converter(tiny_hps):
+    """pcm_wire='mulaw' (8-bit companded PCM both directions): units must
+    nearly all agree with the bit-exact int16 wire, and the synthesized
+    audio must match it within companding noise (>25 dB SNR) — the
+    wire-bound deployment configuration for PCM transport."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.convert import Converter
+
+    h, acfg, state, wavs = _wav_test_setup(tiny_hps)
+    c_i16 = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    c_mu = Converter(
+        h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32, pcm_wire="mulaw"
+    )
+    u0, w0 = c_i16.convert_wavs_multi(wavs, [0, 1], trim=False)
+    u1, w1 = c_mu.convert_wavs_multi(wavs, [0, 1], trim=False)
+    # up-wire fidelity: the companded input flips almost no units
+    agree = np.mean([(a == b).mean() for a, b in zip(u0, u1)])
+    assert agree > 0.95, agree
+    for k in range(2):
+        for a, b in zip(w0[k], w1[k]):
+            assert a.shape == b.shape and b.dtype == np.int16
+
+    # down-wire fidelity in isolation: IDENTICAL features (same bf16
+    # feature wire) -> identical Griffin-Lim output -> the only delta is
+    # the 8-bit companding of the synthesized audio (~38 dB SNR). The
+    # wav-path comparison above can't measure this: a few flipped units
+    # change the decoded magnitudes and GL phase reconstruction is
+    # chaotic in that difference.
+    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+
+    feats = [dsp_audio.get_spectrograms(w, acfg, bucket_frames=32)[1] for w in wavs]
+    cf_i16 = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    cf_mu = Converter(
+        h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32, pcm_wire="mulaw"
+    )
+    _, wf0 = cf_i16.convert_features_multi(feats, [0])
+    _, wf1 = cf_mu.convert_features_multi(feats, [0])
+    for a, b in zip(wf0[0], wf1[0]):
+        ref = a.astype(np.float64) / 32768.0
+        err = ref - b.astype(np.float64) / 32768.0
+        snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-12))
+        assert snr > 30.0, snr
+    # units-only PCM-in path takes the same up-wire
+    eu = c_mu.encode_units_from_wavs(wavs, trim=False)
+    agree_e = np.mean([(a == b).mean() for a, b in zip(u0, eu)])
+    assert agree_e > 0.95, agree_e

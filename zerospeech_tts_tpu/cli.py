@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run encoder/decoder matmuls in bfloat16 (2x MXU rate; "
                         "may flip borderline units)")
+    p.add_argument("--wire-mulaw", action="store_true",
+                   help="8-bit mu-law companding on both PCM wire directions "
+                        "(halves the dominant transfer bytes on remote/tunneled "
+                        "hosts at ~38 dB SNR; files on disk stay PCM16)")
     p.add_argument("--wire-uint8", action="store_true",
                    help="quantize features to uint8 on the host->device wire "
                         "(per-utterance min/max, dequantized on-device; halves "
@@ -460,6 +464,7 @@ def _load_converter(args, hps, acfg):
         feat=getattr(args, "feat", "lin"),
         compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
         wire="uint8" if getattr(args, "wire_uint8", False) else "bf16",
+        pcm_wire="mulaw" if getattr(args, "wire_mulaw", False) else "int16",
     )
 
 

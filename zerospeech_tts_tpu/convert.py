@@ -25,6 +25,12 @@ import numpy as np
 
 from zerospeech_tts_tpu.config import AudioConfig, Hps
 from zerospeech_tts_tpu.dsp import audio as dsp_audio
+from zerospeech_tts_tpu.dsp.mulaw import (
+    mulaw_compress_device,
+    mulaw_compress_host,
+    mulaw_expand_device,
+    mulaw_expand_host,
+)
 from zerospeech_tts_tpu.dsp.wavio import load_wav, save_wav, trim_silence
 from zerospeech_tts_tpu.models import Decoder, Encoder, hard_units
 
@@ -66,11 +72,19 @@ class Converter:
         # again; conversion on tunneled/remote hosts is wire-bound, not
         # FLOP-bound. Unit agreement vs the f32 path is ~0.997 (see
         # tests/test_parallel.py::test_uint8_wire_converter).
+        pcm_wire: str = "int16",  # PCM transport: int16 (bit-exact) | mulaw
+        # mulaw = 8-bit G.711-style companding on BOTH PCM directions (wav
+        # up-wire of the PCM-in programs, synthesized audio down-wire of
+        # every program): halves the dominant wire bytes at ~38 dB SNR,
+        # far above the Griffin-Lim noise floor. Files on disk stay PCM16
+        # either way. See dsp/mulaw.py and docs/performance.md.
     ):
         assert bucket_frames % hps.downsample == 0
         assert feat in ("lin", "mel")
         assert wire in ("bf16", "uint8")
+        assert pcm_wire in ("int16", "mulaw")
         self.wire = wire
+        self.pcm_wire = pcm_wire
         self.feat = feat
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.hps = hps
@@ -140,6 +154,8 @@ class Converter:
             wav = jax.vmap(
                 lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=gl_method)
             )(xh)
+            if self.pcm_wire == "mulaw":  # 8-bit companded down-wire
+                return mulaw_compress_device(jnp.clip(wav, -1.0, 1.0))
             return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
         pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
@@ -200,7 +216,7 @@ class Converter:
         fe_method = dsp_audio.resolve_method(acfg, None)
 
         def run(enc_params, dec_params, pcm, spk, src_mean, src_std, tgt_mean, tgt_std):
-            y = pcm.astype(jnp.float32) * (1.0 / 32768.0)  # load_wav convention: bit-exact wire for PCM16 sources
+            y = self._pcm_wire_expand(pcm)
             mel, mag = jax.vmap(
                 lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
             )(y)
@@ -211,6 +227,29 @@ class Converter:
         prog = jax.jit(run)
         self._wav_progs[n_frames] = prog
         return prog
+
+    def _pcm_wire_expand(self, pcm: jnp.ndarray) -> jnp.ndarray:
+        """Traced up-wire decode: wire PCM -> float wav in [-1, 1]."""
+        if self.pcm_wire == "mulaw":
+            return mulaw_expand_device(pcm)
+        # load_wav convention (y = int16 / 32768): bit-exact wire for PCM16 sources
+        return pcm.astype(jnp.float32) * (1.0 / 32768.0)
+
+    def _pcm_wire_batch(self, n_samp: int) -> np.ndarray:
+        """Zero-filled host staging buffer for the PCM up-wire (the mu-law
+        code for digital silence is 128, not 0)."""
+        if self.pcm_wire == "mulaw":
+            return np.full((self.batch_size, n_samp), 128, np.uint8)
+        return np.zeros((self.batch_size, n_samp), np.int16)
+
+    def _pcm_wire_pack(self, wav_f32: np.ndarray) -> np.ndarray:
+        """Host up-wire encode: float wav -> wire PCM row."""
+        w = np.clip(np.rint(wav_f32 * 32768.0), -32768, 32767).astype(np.int16)
+        return mulaw_compress_host(w) if self.pcm_wire == "mulaw" else w
+
+    def _pcm_wire_read(self, row: np.ndarray) -> np.ndarray:
+        """Host down-wire decode: wire audio row -> int16 PCM (LUT gather)."""
+        return mulaw_expand_host(row) if self.pcm_wire == "mulaw" else row
 
     def _wire_batch(self, xs: list[np.ndarray]):
         """Stack a padded feature batch for the wire: bf16, or uint8 with
@@ -263,7 +302,7 @@ class Converter:
         fe_method = dsp_audio.resolve_method(acfg, None)
 
         def run(enc_params, pcm, src_mean, src_std):
-            y = pcm.astype(jnp.float32) * (1.0 / 32768.0)  # load_wav convention: bit-exact wire for PCM16 sources
+            y = self._pcm_wire_expand(pcm)
             mel, mag = jax.vmap(
                 lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
             )(y)
@@ -312,11 +351,11 @@ class Converter:
             n_samp = tb * hop - 1
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
-                pcm = np.zeros((self.batch_size, n_samp), np.int16)
+                pcm = self._pcm_wire_batch(n_samp)
                 sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
                 ss = np.ones((self.batch_size, hps.n_feat), np.float32)
                 for j, i in enumerate(chunk):
-                    w = np.clip(np.rint(wavs[i] * 32768.0), -32768, 32767).astype(np.int16)
+                    w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
                 inflight.append(
@@ -451,7 +490,7 @@ class Converter:
                 t_true = feats_list[i].shape[0]
                 units_out[i] = units[j][: t_true // ds].astype(np.int32)
                 for k in range(len(spk_ids)):
-                    wavs_out[k][i] = pcm[k, j][: max((t_true - 1), 1) * hop]
+                    wavs_out[k][i] = self._pcm_wire_read(pcm[k, j][: max((t_true - 1), 1) * hop])
         return units_out, wavs_out
 
     def convert_features(self, feats_list: list[np.ndarray], spk_id: int):
@@ -518,11 +557,11 @@ class Converter:
             n_samp = tb * hop - 1  # canonical bucket length (pad_to_bucket)
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
-                pcm = np.zeros((self.batch_size, n_samp), np.int16)
+                pcm = self._pcm_wire_batch(n_samp)
                 sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
                 ss = np.ones((self.batch_size, hps.n_feat), np.float32)
                 for j, i in enumerate(chunk):
-                    w = np.clip(np.rint(wavs[i] * 32768.0), -32768, 32767).astype(np.int16)
+                    w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
                 x, sm_d, ss_d = jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)
@@ -547,7 +586,7 @@ class Converter:
                 t_true = dsp_audio.n_frames_for(len(wavs[i]), acfg)
                 units_out[i] = units[j][: t_true // ds].astype(np.int32)
                 for k in range(len(spk_ids)):
-                    wavs_out[k][i] = pcm[k, j][: max(t_true - 1, 1) * hop]
+                    wavs_out[k][i] = self._pcm_wire_read(pcm[k, j][: max(t_true - 1, 1) * hop])
         return units_out, wavs_out
 
     def convert_wav(self, wav: np.ndarray, spk_id: int, trim: bool = True, tgt_name=None):
