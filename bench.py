@@ -82,7 +82,10 @@ def main():
     hps = Hps()  # flagship geometry (seg 128 / 513 feat / 1024-bit MBV)
     acfg = AudioConfig()
     platform = jax.devices()[0].platform
-    n_utts = 16 if not quick else 4
+    # 32 utterances per pass: one batch-32 program amortizes the ~100 ms
+    # tunnel dispatch best (same-session ladder: batch 4/8/16/32 -> 37.2 /
+    # 64.5 / 88.7 / 109.0 utt/s; batch 64 compiles >35 min — rejected)
+    n_utts = 32 if not quick else 4
     n_frames = 512  # ~6.4 s of audio per utterance
     gl_iters = acfg.gl_iters  # 100, matching the reference default
 
