@@ -1,0 +1,150 @@
+"""Serving layer: micro-batching service + HTTP front (serve.py).
+
+Runs on CPU with a tiny random-init model — the service contract
+(batching, per-request results, error isolation, wire formats) is what's
+under test, not audio quality.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from zerospeech_tts_tpu.config import AudioConfig
+from zerospeech_tts_tpu.convert import Converter
+from zerospeech_tts_tpu.serve import ConversionService, serve_http, units_text
+from zerospeech_tts_tpu.train import Solver
+
+
+@pytest.fixture(scope="module")
+def service(tiny_hps):
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    svc = ConversionService(
+        conv, {"V001": 0, "V002": 1}, window_ms=120.0, max_batch=2
+    )
+    yield svc
+    svc.close()
+
+
+def _tone(n=3000, f=220.0, sr=16000):
+    t = np.arange(n) / sr
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_service_convert_roundtrip(service):
+    res = service.convert(_tone(), ("V001",), trim=False)
+    assert set(res["wavs"]) == {"V001"}
+    assert res["units"].ndim == 2 and set(np.unique(res["units"])) <= {0, 1}
+    assert res["wavs"]["V001"].dtype == np.int16 and len(res["wavs"]["V001"]) > 0
+
+
+def test_service_micro_batches_same_key(service):
+    """Two concurrent same-target requests inside the window share one
+    program dispatch; each still gets its own result."""
+    d0 = service.dispatches
+    results = [None, None]
+
+    def call(i, f):
+        results[i] = service.convert(_tone(f=f), ("V001", "V002"), trim=False)
+
+    ts = [threading.Thread(target=call, args=(i, 220.0 + 60 * i)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert all(r is not None for r in results)
+    assert results[0]["units"].shape == results[1]["units"].shape
+    assert not np.array_equal(
+        results[0]["wavs"]["V001"], results[1]["wavs"]["V001"]
+    )  # distinct inputs -> distinct outputs (no result mixup)
+    assert service.dispatches - d0 <= 2  # usually 1; 2 if the window raced
+
+
+def test_service_units_only_and_errors(service):
+    res = service.convert(_tone(), (), trim=False)
+    assert "wavs" not in res and res["units"].shape[1] == service.converter.hps.emb_size
+    with pytest.raises(KeyError):
+        service.submit(_tone(), ("NOSUCH",))
+    with pytest.raises(ValueError):
+        service.submit(np.zeros(8, np.float32), ("V001",), trim=False)
+    # a failed batch must not wedge the worker
+    assert service.convert(_tone(), ("V001",), trim=False)["units"].size > 0
+
+
+def test_http_server_end_to_end(service):
+    import scipy.io.wavfile
+
+    httpd = serve_http(service, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["speakers"] == 2
+        with urllib.request.urlopen(f"{base}/speakers", timeout=30) as r:
+            assert json.loads(r.read())["speakers"] == ["V001", "V002"]
+
+        buf = io.BytesIO()
+        scipy.io.wavfile.write(buf, 16000, (_tone() * 32767).astype(np.int16))
+        wav_bytes = buf.getvalue()
+
+        req = urllib.request.Request(
+            f"{base}/convert?targets=V001&trim=0", data=wav_bytes, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        rows = out["units"].splitlines()
+        assert rows and set("".join(rows[0].split())) <= {"0", "1"}
+        sr, pcm = scipy.io.wavfile.read(
+            io.BytesIO(base64.b64decode(out["wavs"]["V001"]))
+        )
+        assert sr == 16000 and pcm.dtype == np.int16 and len(pcm) > 0
+
+        # JSON body (raw PCM16 + resample), units-only endpoint
+        body = json.dumps(
+            {
+                "pcm16_b64": base64.b64encode(
+                    (_tone(n=6000, sr=8000) * 32767).astype(np.int16).tobytes()
+                ).decode(),
+                "sr": 8000,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/units?trim=0",
+            data=body,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["units"].splitlines()
+
+        # bad target -> 400 with an error message, server stays up
+        req = urllib.request.Request(
+            f"{base}/convert?targets=NOSUCH&trim=0", data=wav_bytes, method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "NOSUCH" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_units_text_format():
+    u = np.array([[0, 1, 1], [1, 0, 0]], np.int32)
+    assert units_text(u) == "0 1 1\n1 0 0"

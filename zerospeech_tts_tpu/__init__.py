@@ -23,6 +23,8 @@ reconstructed — see SURVEY.md provenance note):
 * L4 training      -> :mod:`zerospeech_tts_tpu.train`         (ref solver.py)
 * L5 CLI/convert   -> :mod:`zerospeech_tts_tpu.cli` / :mod:`zerospeech_tts_tpu.convert`
                                                               (ref main.py / convert.py)
+* serving (absent in reference) -> :mod:`zerospeech_tts_tpu.serve`
+  (warm-program HTTP service with request micro-batching)
 * parallel (absent in reference, first-class here) -> :mod:`zerospeech_tts_tpu.parallel`
 * ops (Pallas/XLA kernels, the TPU analogue of native kernels) -> :mod:`zerospeech_tts_tpu.ops`
 """

@@ -131,6 +131,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="train")
     p.add_argument("--n-segments", type=int, default=64)
 
+    p = sub.add_parser(
+        "serve",
+        help="HTTP conversion service: warm programs + request micro-batching "
+             "(deployment mode; no reference counterpart)",
+    )
+    _common(p)
+    p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (speaker map/stats)")
+    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="program batch = micro-batch ceiling per dispatch")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="max extra latency spent gathering a micro-batch")
+    p.add_argument("--gl-iters", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--wire-mulaw", action="store_true")
+    p.add_argument("--feat", default="lin", choices=["lin", "mel"])
+    p.add_argument("--load_model", nargs="?", const="latest", default=None,
+                   metavar="STEP|DIR", help="checkpoint selection (see convert)")
+
     p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
     _common(p)
     p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (for speaker map)")
@@ -581,6 +602,34 @@ def cmd_convert_single(args):
     print(json.dumps(out))
 
 
+def cmd_serve(args):
+    _setup_platform(args)
+    from zerospeech_tts_tpu.serve import ConversionService, serve_http
+
+    hps, acfg = load_configs(args.hps)
+    speakers = _speaker_map(args.dataset_path, hps)
+    conv = _load_converter(args, hps, acfg)
+    service = ConversionService(
+        conv, speakers, window_ms=args.batch_window_ms, max_batch=args.batch_size
+    )
+    httpd = serve_http(service, host=args.host, port=args.port)
+    host, port = httpd.server_address[:2]
+    print(
+        f"serving on http://{host}:{port}  "
+        f"(batch {args.batch_size}, window {args.batch_window_ms}ms, "
+        f"{len(speakers)} speakers; POST /convert?targets=..., /units; GET /healthz)",
+        flush=True,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        service.close()
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     {
@@ -590,6 +639,7 @@ def main(argv=None) -> None:
         "convert": cmd_convert,
         "convert-single": cmd_convert_single,
         "eval": cmd_eval,
+        "serve": cmd_serve,
     }[args.cmd](args)
 
 

@@ -22,9 +22,11 @@ import scipy.io.wavfile
 import scipy.signal
 
 
-def load_wav(path: str | Path, sr: int) -> np.ndarray:
-    """Decode a wav to float32 mono in [-1, 1] at sample rate ``sr``."""
-    file_sr, data = scipy.io.wavfile.read(str(path))
+def load_wav(path, sr: int) -> np.ndarray:
+    """Decode a wav to float32 mono in [-1, 1] at sample rate ``sr``.
+    ``path`` is a filesystem path or a binary file-like (e.g. BytesIO of
+    an uploaded request body — see zerospeech_tts_tpu.serve)."""
+    file_sr, data = scipy.io.wavfile.read(path if hasattr(path, "read") else str(path))
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:

@@ -1,0 +1,316 @@
+"""Serving runtime — persistent conversion service + stdlib HTTP front.
+
+No reference counterpart (the reference repo is batch CLI only, ref
+main.py:~1-150); this is the deployment story of the TPU rebuild: the
+Converter's fixed-shape XLA programs compile ONCE per length bucket and
+stay warm in a long-lived process, and concurrent requests MICRO-BATCH
+onto them — the shape-stable, large-batch execution model TPUs want,
+exposed as a service.
+
+Design:
+
+* ``ConversionService`` — a single dispatch worker thread owns all JAX
+  calls (one stream, no device contention). Requests queue per "plan
+  key" (the tuple of target speakers; ``()`` = units-only). The worker
+  drains the oldest key's queue, waits up to ``window_ms`` for more
+  requests of the same key (micro-batching window), then runs ONE
+  conversion program over the gathered utterances. Silence-trim happens
+  at submit time so requests with different trim settings still share a
+  batch.
+* ``serve_http`` — a ``ThreadingHTTPServer`` front end (stdlib only).
+  Handler threads block on their request's future, so the micro-batcher
+  sees every in-flight request at once:
+
+      GET  /healthz           -> {"ok": true, platform, speakers, dispatches}
+      GET  /speakers          -> {"speakers": [...]}
+      POST /convert?targets=V001,V002[&trim=0]   body: WAV bytes
+      POST /units[?trim=0]                        body: WAV bytes
+      (both POSTs also accept JSON {"pcm16_b64": ..., "sr": N})
+
+  /convert returns {"units": <challenge text format>, "wavs":
+  {target: base64 PCM16 WAV}}; /units returns just the units.
+
+Start it with ``zstts serve -dataset_path ds.h5 -ckpt_dir ckpt --port
+8571`` (plus the usual ``--bf16 --wire-mulaw --gl-iters`` deployment
+knobs).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from zerospeech_tts_tpu.dsp.wavio import load_wav, trim_silence
+
+
+class _Request:
+    """One utterance waiting for a dispatch; a tiny single-use future."""
+
+    __slots__ = ("wav", "key", "seq", "_event", "_result", "_error")
+
+    def __init__(self, wav: np.ndarray, key: tuple, seq: int):
+        self.wav = wav
+        self.key = key
+        self.seq = seq
+        self._event = threading.Event()
+        self._result = None
+        self._error = None
+
+    def set_result(self, result) -> None:
+        self._result = result
+        self._event.set()
+
+    def set_error(self, err: BaseException) -> None:
+        self._error = err
+        self._event.set()
+
+    def result(self, timeout: float | None = None):
+        if not self._event.wait(timeout):
+            raise TimeoutError("conversion request timed out")
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+
+class ConversionService:
+    """Micro-batching front over a warm :class:`~zerospeech_tts_tpu.convert.Converter`.
+
+    ``speakers`` maps target speaker name -> id (the corpus speaker map).
+    ``window_ms`` bounds added latency: after the first request of a
+    batch arrives, the worker waits at most this long for companions.
+    """
+
+    def __init__(
+        self,
+        converter,
+        speakers: dict[str, int],
+        window_ms: float = 5.0,
+        max_batch: int | None = None,
+    ):
+        self.converter = converter
+        self.speakers = dict(speakers)
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch or converter.batch_size
+        self.dispatches = 0  # observability: one per program-batch run
+        self.served = 0
+        self._seq = 0
+        self._queues: dict[tuple, deque[_Request]] = {}
+        self._cv = threading.Condition()
+        self._stopping = False
+        self._worker = threading.Thread(
+            target=self._worker_loop, name="zstts-dispatch", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------- client
+
+    def submit(self, wav: np.ndarray, targets: tuple[str, ...], trim: bool = True) -> _Request:
+        """Enqueue one utterance; returns a future. ``targets=()`` means
+        units-only (no synthesis)."""
+        for t in targets:
+            if t not in self.speakers:
+                raise KeyError(f"unknown target speaker {t!r}")
+        wav = np.asarray(wav, np.float32)
+        if trim:
+            wav = trim_silence(wav, self.converter.acfg.top_db)
+        if len(wav) < self.converter.acfg.hop_length + 1:
+            raise ValueError("utterance shorter than one frame after trim")
+        key = tuple(targets)
+        with self._cv:
+            if self._stopping:
+                raise RuntimeError("service is shut down")
+            req = _Request(wav, key, self._seq)
+            self._seq += 1
+            self._queues.setdefault(key, deque()).append(req)
+            self._cv.notify_all()
+        return req
+
+    def convert(self, wav, targets, trim: bool = True, timeout: float | None = 120.0):
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(wav, tuple(targets), trim=trim).result(timeout)
+
+    def close(self) -> None:
+        with self._cv:
+            self._stopping = True
+            self._cv.notify_all()
+        self._worker.join(timeout=10)
+
+    # ------------------------------------------------------------- worker
+
+    def _oldest_key(self):
+        """Key whose head request has waited longest (FIFO across keys)."""
+        best, best_seq = None, None
+        for k, q in self._queues.items():
+            if q and (best_seq is None or q[0].seq < best_seq):
+                best, best_seq = k, q[0].seq
+        return best
+
+    def _worker_loop(self):
+        while True:
+            with self._cv:
+                key = self._oldest_key()
+                while key is None and not self._stopping:
+                    self._cv.wait(timeout=0.1)
+                    key = self._oldest_key()
+                if key is None and self._stopping:
+                    return
+                # micro-batch window: gather same-key companions
+                deadline = time.monotonic() + self.window_s
+                q = self._queues[key]
+                while len(q) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch = [q.popleft() for _ in range(min(len(q), self.max_batch))]
+            try:
+                self._run(key, batch)
+            except BaseException as e:  # noqa: BLE001 — report to every waiter
+                for r in batch:
+                    r.set_error(e)
+            else:
+                self.served += len(batch)
+
+    def _run(self, key: tuple, batch: list[_Request]) -> None:
+        conv = self.converter
+        wavs = [r.wav for r in batch]
+        if key == ():  # units-only plan
+            units = conv.encode_units_from_wavs(wavs, trim=False)
+            self.dispatches += 1
+            for r, u in zip(batch, units):
+                r.set_result({"units": u})
+            return
+        spk_ids = [self.speakers[t] for t in key]
+        units, wavs_out = conv.convert_wavs_multi(
+            wavs,
+            spk_ids,
+            tgt_names=list(key) if conv.stats is not None else None,
+            trim=False,
+        )
+        self.dispatches += 1
+        for i, r in enumerate(batch):
+            r.set_result(
+                {"units": units[i], "wavs": {t: wavs_out[k][i] for k, t in enumerate(key)}}
+            )
+
+
+# ------------------------------------------------------------------ HTTP
+
+
+def units_text(units: np.ndarray) -> str:
+    """Challenge text format: one latent frame per line, bits space-separated."""
+    return "\n".join(" ".join(str(int(v)) for v in row) for row in units)
+
+
+def _wav_bytes(pcm16: np.ndarray, sr: int) -> bytes:
+    import scipy.io.wavfile
+
+    buf = io.BytesIO()
+    scipy.io.wavfile.write(buf, sr, np.asarray(pcm16, np.int16))
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: ConversionService = None  # set by serve_http
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        path = urlparse(self.path).path
+        svc = self.service
+        if path == "/healthz":
+            import jax
+
+            self._json(
+                200,
+                {
+                    "ok": True,
+                    "platform": jax.devices()[0].platform,
+                    "speakers": len(svc.speakers),
+                    "dispatches": svc.dispatches,
+                    "served": svc.served,
+                },
+            )
+        elif path == "/speakers":
+            self._json(200, {"speakers": sorted(svc.speakers)})
+        else:
+            self._json(404, {"error": f"unknown path {path}"})
+
+    def _read_wav(self) -> np.ndarray:
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        sr = self.service.converter.acfg.sr
+        if self.headers.get("Content-Type", "").startswith("application/json"):
+            obj = json.loads(body)
+            pcm = np.frombuffer(base64.b64decode(obj["pcm16_b64"]), np.int16)
+            y = pcm.astype(np.float32) / 32768.0
+            if int(obj.get("sr", sr)) != sr:
+                import math
+
+                import scipy.signal
+
+                g = math.gcd(sr, int(obj["sr"]))
+                y = scipy.signal.resample_poly(y, sr // g, int(obj["sr"]) // g).astype(
+                    np.float32
+                )
+            return y
+        return load_wav(io.BytesIO(body), sr)  # WAV container (any rate/width)
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        q = parse_qs(url.query)
+        trim = q.get("trim", ["1"])[0] not in ("0", "false")
+        try:
+            wav = self._read_wav()
+            if url.path == "/convert":
+                targets = tuple(t for part in q.get("targets", []) for t in part.split(",") if t)
+                if not targets:
+                    self._json(400, {"error": "targets query parameter required"})
+                    return
+                res = self.service.convert(wav, targets, trim=trim)
+                sr = self.service.converter.acfg.sr
+                self._json(
+                    200,
+                    {
+                        "units": units_text(res["units"]),
+                        "wavs": {
+                            t: base64.b64encode(_wav_bytes(w, sr)).decode()
+                            for t, w in res["wavs"].items()
+                        },
+                    },
+                )
+            elif url.path == "/units":
+                res = self.service.convert(wav, (), trim=trim)
+                self._json(200, {"units": units_text(res["units"])})
+            else:
+                self._json(404, {"error": f"unknown path {url.path}"})
+        except (KeyError, ValueError) as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — surface to the client
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def serve_http(
+    service: ConversionService, host: str = "127.0.0.1", port: int = 8571
+) -> ThreadingHTTPServer:
+    """Bind and return the server (caller runs serve_forever / shutdown)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
