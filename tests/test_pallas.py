@@ -135,3 +135,37 @@ def test_pallas_gl_long_utterance_matches_xla():
 
     cp, cx = consistency(out_p), consistency(out_x)
     assert abs(cp - cx) < 0.02, (cp, cx)
+
+
+def test_converter_pallas_seq_long_bucket(tiny_hps):
+    """1024<frames<=2048 buckets: the batched conversion program runs the
+    streaming GL kernel per utterance under lax.map (never vmapped) —
+    units must equal the XLA-path converter's exactly (GL does not touch
+    units) and the PCM must be finite and full-length."""
+    import jax as _jax
+
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_supported, pallas_gl_vmap_supported
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    cfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    t_frames = 1056  # > STREAM_THRESHOLD, multiple of bucket_frames=32
+    assert pallas_gl_supported(cfg, t_frames) and not pallas_gl_vmap_supported(cfg, t_frames)
+    sol = Solver(h)
+    state = sol.init_state(_jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    feats = [rng.uniform(0, 1, (t_frames, 129)).astype(np.float32) for _ in range(2)]
+
+    c_xla = Converter(h, cfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    c_seq = Converter(
+        h, cfg, state.enc, state.dec, batch_size=2, bucket_frames=32,
+        stft_method="pallas_seq",
+    )
+    u0, w0 = c_xla.convert_features_multi(feats, [0])
+    u1, w1 = c_seq.convert_features_multi(feats, [0])
+    for a, b in zip(u0, u1):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(w0[0], w1[0]):
+        assert a.shape == b.shape
+        assert np.isfinite(b.astype(np.float32)).all() and np.abs(b).max() > 0

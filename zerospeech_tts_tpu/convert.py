@@ -118,14 +118,24 @@ class Converter:
 
     def _gl_method(self, n_frames: int):
         """Vocoder backend for a bucket: the whole-loop Pallas GL kernel
-        where it can sit under the per-utterance vmap, else the fused
-        matmul XLA path (stft_method overrides)."""
+        where it can sit under the per-utterance vmap; for longer buckets
+        (HBM-streamed magnitudes, un-vmappable ANY-space input) the same
+        kernel runs per utterance under lax.map ("pallas_seq" — scan never
+        batches the kernel, and GL per utterance still beats the batched
+        XLA path); else the fused matmul XLA path (stft_method overrides)."""
         gl_method = self.stft_method
         if gl_method is None and jax.default_backend() == "tpu":
-            from zerospeech_tts_tpu.ops.pallas_gl import pallas_gl_vmap_supported
+            from zerospeech_tts_tpu.ops.pallas_gl import (
+                pallas_gl_supported,
+                pallas_gl_vmap_supported,
+            )
 
             if pallas_gl_vmap_supported(self.acfg, n_frames):
                 gl_method = "pallas"  # whole-GL-in-VMEM kernel (1.5x XLA path)
+            elif self.mesh is None and pallas_gl_supported(self.acfg, n_frames):
+                # scan over a mesh-sharded batch axis would gather; keep the
+                # sharded program on the (vmappable) XLA path instead
+                gl_method = "pallas_seq"
         return gl_method
 
     def _convert_core(self, enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method):
@@ -148,17 +158,23 @@ class Converter:
             dsp_audio.spectrogram2wav if self.feat == "lin" else dsp_audio.melspectrogram2wav
         )
 
+        seq = gl_method == "pallas_seq"  # lax.map: the kernel must never be vmapped
+
         def decode_one(spk_row, mean_row, std_row):
             xh = self.decoder.apply(dec_params, z, spk_row).astype(jnp.float32)
             xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
-            wav = jax.vmap(
-                lambda m: vocoder(m, acfg, n_iters=self.gl_iters, method=gl_method)
-            )(xh)
+            voc = lambda m: vocoder(  # noqa: E731
+                m, acfg, n_iters=self.gl_iters, method="pallas" if seq else gl_method
+            )
+            wav = jax.lax.map(voc, xh) if seq else jax.vmap(voc)(xh)
             if self.pcm_wire == "mulaw":  # 8-bit companded down-wire
                 return mulaw_compress_device(jnp.clip(wav, -1.0, 1.0))
             return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
-        pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
+        if seq:  # targets sequential too: vmap-of-scan would re-batch the kernel
+            pcm = jax.lax.map(lambda a: decode_one(*a), (spk, tgt_mean, tgt_std))
+        else:
+            pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
         packed = jnp.packbits(units.astype(jnp.uint8), axis=-1)
         return packed, pcm
 
