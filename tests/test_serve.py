@@ -148,3 +148,44 @@ def test_http_server_end_to_end(service):
 def test_units_text_format():
     u = np.array([[0, 1, 1], [1, 0, 0]], np.int32)
     assert units_text(u) == "0 1 1\n1 0 0"
+
+
+def test_plan_key_canonicalization(service):
+    assert service.plan_key(("V002", "V001", "V002")) == ("V001", "V002")
+    with pytest.raises(ValueError):
+        service.plan_key(tuple(f"V001" for _ in range(99)) + tuple(
+            f"X{i}" for i in range(99)
+        ))
+    with pytest.raises(KeyError):
+        service.plan_key(("V001", "NOSUCH"))
+
+
+def test_batch_failure_retries_individually():
+    """A batch dispatch failure falls back to per-request runs: the good
+    request succeeds, only the bad one's owner sees the error."""
+    from zerospeech_tts_tpu.serve import ConversionService
+
+    class _Acfg:
+        top_db, hop_length = 15.0, 64
+
+    class _StubConverter:
+        batch_size, stats, acfg = 4, None, _Acfg()
+
+        def encode_units_from_wavs(self, wavs, trim=False):
+            if len(wavs) > 1:
+                raise RuntimeError("batch blew up")
+            if len(wavs[0]) == 4096:  # the poisoned utterance
+                raise RuntimeError("bad input")
+            return [np.zeros((3, 8), np.int32)]
+
+    svc = ConversionService(_StubConverter(), {"V001": 0}, window_ms=150.0)
+    try:
+        good = svc.submit(np.ones(2048, np.float32), (), trim=False)
+        bad = svc.submit(np.ones(4096, np.float32), (), trim=False)
+        assert good.result(30)["units"].shape == (3, 8)
+        with pytest.raises(RuntimeError, match="bad input"):
+            bad.result(30)
+        # queues must not leak drained keys
+        assert svc._queues == {}
+    finally:
+        svc.close()

@@ -145,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="program batch = micro-batch ceiling per dispatch")
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="max extra latency spent gathering a micro-batch")
+    p.add_argument("--request-timeout", type=float, default=900.0,
+                   help="per-request wait budget in seconds; the FIRST "
+                        "request of each new utterance-length bucket pays "
+                        "that bucket's XLA compile, so keep this generous")
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--wire-mulaw", action="store_true")
@@ -610,7 +614,8 @@ def cmd_serve(args):
     speakers = _speaker_map(args.dataset_path, hps)
     conv = _load_converter(args, hps, acfg)
     service = ConversionService(
-        conv, speakers, window_ms=args.batch_window_ms, max_batch=args.batch_size
+        conv, speakers, window_ms=args.batch_window_ms, max_batch=args.batch_size,
+        request_timeout=args.request_timeout,
     )
     httpd = serve_http(service, host=args.host, port=args.port)
     host, port = httpd.server_address[:2]

@@ -35,13 +35,19 @@ from zerospeech_tts_tpu.dsp.wavio import load_wav, save_wav, trim_silence
 from zerospeech_tts_tpu.models import Decoder, Encoder, hard_units
 
 
+def units_text(units: np.ndarray) -> str:
+    """Challenge text format: one latent frame per line, bits space-separated
+    (the single source of the format — file dumps and the HTTP service both
+    render through this)."""
+    return "\n".join(" ".join(str(int(v)) for v in row) for row in units)
+
+
 def write_units(path: str | Path, units: np.ndarray) -> None:
-    """Unit text file: one latent frame per line, bits space-separated."""
+    """Unit text file in the challenge format (see units_text)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as f:
-        for row in units:
-            f.write(" ".join(str(int(v)) for v in row) + "\n")
+        f.write(units_text(units) + "\n" if len(units) else "")
 
 
 def read_units(path: str | Path) -> np.ndarray:

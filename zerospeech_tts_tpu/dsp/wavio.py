@@ -22,6 +22,14 @@ import scipy.io.wavfile
 import scipy.signal
 
 
+def resample(y: np.ndarray, from_sr: int, to_sr: int) -> np.ndarray:
+    """Polyphase resampling (librosa.load's resample step)."""
+    if from_sr == to_sr:
+        return np.asarray(y, np.float32)
+    g = math.gcd(int(to_sr), int(from_sr))
+    return scipy.signal.resample_poly(y, to_sr // g, from_sr // g).astype(np.float32)
+
+
 def load_wav(path, sr: int) -> np.ndarray:
     """Decode a wav to float32 mono in [-1, 1] at sample rate ``sr``.
     ``path`` is a filesystem path or a binary file-like (e.g. BytesIO of
@@ -37,10 +45,7 @@ def load_wav(path, sr: int) -> np.ndarray:
         y = data.astype(np.float32)
     if y.ndim == 2:
         y = y.mean(axis=1)
-    if file_sr != sr:
-        g = math.gcd(int(sr), int(file_sr))
-        y = scipy.signal.resample_poly(y, sr // g, file_sr // g).astype(np.float32)
-    return y
+    return resample(y, file_sr, sr)
 
 
 def save_wav(path: str | Path, y: np.ndarray, sr: int) -> None:

@@ -11,12 +11,14 @@ Design:
 
 * ``ConversionService`` — a single dispatch worker thread owns all JAX
   calls (one stream, no device contention). Requests queue per "plan
-  key" (the tuple of target speakers; ``()`` = units-only). The worker
-  drains the oldest key's queue, waits up to ``window_ms`` for more
-  requests of the same key (micro-batching window), then runs ONE
-  conversion program over the gathered utterances. Silence-trim happens
-  at submit time so requests with different trim settings still share a
-  batch.
+  key" (the canonicalized — sorted, deduplicated, count-capped — tuple
+  of target speakers; ``()`` = units-only). The worker drains the
+  oldest key's queue, waits up to ``window_ms`` for more requests of
+  the same key (micro-batching window), then runs ONE conversion
+  program over the gathered utterances. Silence-trim happens at submit
+  time so requests with different trim settings still share a batch.
+  If a batch dispatch fails, its requests are retried individually so
+  one bad input cannot poison co-batched clients.
 * ``serve_http`` — a ``ThreadingHTTPServer`` front end (stdlib only).
   Handler threads block on their request's future, so the micro-batcher
   sees every in-flight request at once:
@@ -32,7 +34,9 @@ Design:
 
 Start it with ``zstts serve -dataset_path ds.h5 -ckpt_dir ckpt --port
 8571`` (plus the usual ``--bf16 --wire-mulaw --gl-iters`` deployment
-knobs).
+knobs). The default request timeout is generous (15 min) because the
+FIRST request of each new utterance-length bucket pays that bucket's
+XLA compile; ``--request-timeout`` tunes it.
 """
 
 from __future__ import annotations
@@ -43,41 +47,31 @@ import json
 import threading
 import time
 from collections import deque
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from zerospeech_tts_tpu.dsp.wavio import load_wav, trim_silence
+from zerospeech_tts_tpu.convert import units_text  # noqa: F401  (re-export: HTTP + file dumps share the format)
+from zerospeech_tts_tpu.dsp.wavio import load_wav, resample, trim_silence
+
+MAX_TARGETS = 16  # per request: bounds the per-target decode/GL program size
 
 
 class _Request:
-    """One utterance waiting for a dispatch; a tiny single-use future."""
+    """One utterance waiting for a dispatch."""
 
-    __slots__ = ("wav", "key", "seq", "_event", "_result", "_error")
+    __slots__ = ("wav", "key", "seq", "future")
 
     def __init__(self, wav: np.ndarray, key: tuple, seq: int):
         self.wav = wav
         self.key = key
         self.seq = seq
-        self._event = threading.Event()
-        self._result = None
-        self._error = None
-
-    def set_result(self, result) -> None:
-        self._result = result
-        self._event.set()
-
-    def set_error(self, err: BaseException) -> None:
-        self._error = err
-        self._event.set()
+        self.future = Future()
 
     def result(self, timeout: float | None = None):
-        if not self._event.wait(timeout):
-            raise TimeoutError("conversion request timed out")
-        if self._error is not None:
-            raise self._error
-        return self._result
+        return self.future.result(timeout)
 
 
 class ConversionService:
@@ -86,6 +80,9 @@ class ConversionService:
     ``speakers`` maps target speaker name -> id (the corpus speaker map).
     ``window_ms`` bounds added latency: after the first request of a
     batch arrives, the worker waits at most this long for companions.
+    ``request_timeout`` is the default wait in :meth:`convert`; the
+    first request per utterance-length bucket pays an XLA compile, so
+    keep it generous.
     """
 
     def __init__(
@@ -94,11 +91,13 @@ class ConversionService:
         speakers: dict[str, int],
         window_ms: float = 5.0,
         max_batch: int | None = None,
+        request_timeout: float = 900.0,
     ):
         self.converter = converter
         self.speakers = dict(speakers)
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch or converter.batch_size
+        self.request_timeout = request_timeout
         self.dispatches = 0  # observability: one per program-batch run
         self.served = 0
         self._seq = 0
@@ -112,18 +111,30 @@ class ConversionService:
 
     # ------------------------------------------------------------- client
 
-    def submit(self, wav: np.ndarray, targets: tuple[str, ...], trim: bool = True) -> _Request:
-        """Enqueue one utterance; returns a future. ``targets=()`` means
-        units-only (no synthesis)."""
-        for t in targets:
+    def plan_key(self, targets) -> tuple:
+        """Canonical batching key: sorted unique target names (the
+        response is keyed by name, so order/duplicates carry no
+        information — canonicalizing maximizes batch sharing)."""
+        uniq = sorted(dict.fromkeys(targets))
+        if len(uniq) > MAX_TARGETS:
+            raise ValueError(
+                f"{len(uniq)} target speakers in one request (max {MAX_TARGETS}); "
+                "split the request"
+            )
+        for t in uniq:
             if t not in self.speakers:
                 raise KeyError(f"unknown target speaker {t!r}")
+        return tuple(uniq)
+
+    def submit(self, wav: np.ndarray, targets, trim: bool = True) -> _Request:
+        """Enqueue one utterance; returns a future-carrying request.
+        ``targets=()`` means units-only (no synthesis)."""
+        key = self.plan_key(targets)
         wav = np.asarray(wav, np.float32)
         if trim:
             wav = trim_silence(wav, self.converter.acfg.top_db)
         if len(wav) < self.converter.acfg.hop_length + 1:
             raise ValueError("utterance shorter than one frame after trim")
-        key = tuple(targets)
         with self._cv:
             if self._stopping:
                 raise RuntimeError("service is shut down")
@@ -133,9 +144,11 @@ class ConversionService:
             self._cv.notify_all()
         return req
 
-    def convert(self, wav, targets, trim: bool = True, timeout: float | None = 120.0):
+    def convert(self, wav, targets, trim: bool = True, timeout: float | None = None):
         """Blocking convenience wrapper around :meth:`submit`."""
-        return self.submit(wav, tuple(targets), trim=trim).result(timeout)
+        return self.submit(wav, targets, trim=trim).result(
+            self.request_timeout if timeout is None else timeout
+        )
 
     def close(self) -> None:
         with self._cv:
@@ -171,11 +184,25 @@ class ConversionService:
                         break
                     self._cv.wait(timeout=remaining)
                 batch = [q.popleft() for _ in range(min(len(q), self.max_batch))]
+                if not q:
+                    del self._queues[key]  # drained keys must not accumulate
             try:
                 self._run(key, batch)
-            except BaseException as e:  # noqa: BLE001 — report to every waiter
+            except BaseException as batch_err:  # noqa: BLE001
+                # one bad utterance must not poison co-batched clients:
+                # retry each request alone; solo failures go to their owner
                 for r in batch:
-                    r.set_error(e)
+                    if r.future.done():
+                        continue
+                    if len(batch) > 1:
+                        try:
+                            self._run(key, [r])
+                            self.served += 1
+                            continue
+                        except BaseException as solo_err:  # noqa: BLE001
+                            r.future.set_exception(solo_err)
+                            continue
+                    r.future.set_exception(batch_err)
             else:
                 self.served += len(batch)
 
@@ -185,29 +212,25 @@ class ConversionService:
         if key == ():  # units-only plan
             units = conv.encode_units_from_wavs(wavs, trim=False)
             self.dispatches += 1
-            for r, u in zip(batch, units):
-                r.set_result({"units": u})
-            return
-        spk_ids = [self.speakers[t] for t in key]
-        units, wavs_out = conv.convert_wavs_multi(
-            wavs,
-            spk_ids,
-            tgt_names=list(key) if conv.stats is not None else None,
-            trim=False,
-        )
-        self.dispatches += 1
-        for i, r in enumerate(batch):
-            r.set_result(
-                {"units": units[i], "wavs": {t: wavs_out[k][i] for k, t in enumerate(key)}}
+            results = [{"units": u} for u in units]
+        else:
+            spk_ids = [self.speakers[t] for t in key]
+            units, wavs_out = conv.convert_wavs_multi(
+                wavs,
+                spk_ids,
+                tgt_names=list(key) if conv.stats is not None else None,
+                trim=False,
             )
+            self.dispatches += 1
+            results = [
+                {"units": units[i], "wavs": {t: wavs_out[k][i] for k, t in enumerate(key)}}
+                for i in range(len(batch))
+            ]
+        for r, res in zip(batch, results):  # all computed before any resolve
+            r.future.set_result(res)
 
 
 # ------------------------------------------------------------------ HTTP
-
-
-def units_text(units: np.ndarray) -> str:
-    """Challenge text format: one latent frame per line, bits space-separated."""
-    return "\n".join(" ".join(str(int(v)) for v in row) for row in units)
 
 
 def _wav_bytes(pcm16: np.ndarray, sr: int) -> bytes:
@@ -262,22 +285,13 @@ class _Handler(BaseHTTPRequestHandler):
             obj = json.loads(body)
             pcm = np.frombuffer(base64.b64decode(obj["pcm16_b64"]), np.int16)
             y = pcm.astype(np.float32) / 32768.0
-            if int(obj.get("sr", sr)) != sr:
-                import math
-
-                import scipy.signal
-
-                g = math.gcd(sr, int(obj["sr"]))
-                y = scipy.signal.resample_poly(y, sr // g, int(obj["sr"]) // g).astype(
-                    np.float32
-                )
-            return y
+            return resample(y, int(obj.get("sr", sr)), sr)
         return load_wav(io.BytesIO(body), sr)  # WAV container (any rate/width)
 
     def do_POST(self):  # noqa: N802 — http.server API
         url = urlparse(self.path)
         q = parse_qs(url.query)
-        trim = q.get("trim", ["1"])[0] not in ("0", "false")
+        trim = q.get("trim", ["1"])[0].lower() not in ("0", "false", "no")
         try:
             wav = self._read_wav()
             if url.path == "/convert":
