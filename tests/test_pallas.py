@@ -73,7 +73,9 @@ def test_pallas_gl_support_predicate():
     assert pallas_gl_supported(CFG, 512)
     assert pallas_gl_supported(CFG, 1024)   # v2 all-VMEM budget
     assert pallas_gl_supported(CFG, 2048)   # v3 HBM-streamed magnitudes
-    assert not pallas_gl_supported(CFG, 2049)
+    assert pallas_gl_supported(CFG, 2049)   # v4 HBM signal carries
+    assert pallas_gl_supported(CFG, 32768)  # v4 ceiling (~6.8 min)
+    assert not pallas_gl_supported(CFG, 32769)
     # vmapped callers (the converter) stop at the all-VMEM threshold: the
     # streaming path's ANY-space input cannot be batched by Pallas
     assert pallas_gl_vmap_supported(CFG, 1024)
@@ -169,3 +171,32 @@ def test_converter_pallas_seq_long_bucket(tiny_hps):
     for a, b in zip(w0[0], w1[0]):
         assert a.shape == b.shape
         assert np.isfinite(b.astype(np.float32)).all() and np.abs(b).max() > 0
+
+
+def test_pallas_gl_v4_unbounded_matches_xla():
+    """>2048 frames (v4): v/u signal carries live in HBM, every sweep is a
+    dynamic tile loop with per-tile DMA — consistency must still match the
+    XLA path, including a t that is NOT a multiple of the tile."""
+    from zerospeech_tts_tpu.ops.pallas_gl import MAX_FRAMES, griffin_lim_pallas, pallas_gl_supported
+
+    cfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20)
+    for t_target in (2500, 2816):  # off-tile and on-tile (2816 = 11*256)
+        n = (t_target - 1) * cfg.hop_length
+        rng = np.random.default_rng(5)
+        y = (0.5 * np.sin(2 * np.pi * 330 * np.arange(n) / 16000)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        re, im = A.stft(jnp.asarray(y), cfg, method="fused")
+        mag = jnp.sqrt(re**2 + im**2)
+        assert mag.shape[0] > MAX_FRAMES and pallas_gl_supported(cfg, mag.shape[0])
+        out_p = np.asarray(griffin_lim_pallas(mag, cfg, n_iters=4, interpret=True))
+        out_x = np.asarray(A.griffin_lim(mag, cfg, n_iters=4))
+        assert out_p.shape == out_x.shape
+
+        def consistency(out):
+            r2, i2 = A.stft(jnp.asarray(out), cfg, method="fused")
+            m2 = np.sqrt(np.asarray(r2) ** 2 + np.asarray(i2) ** 2)
+            m = np.asarray(mag)
+            return float(np.linalg.norm(m2[4:-4] - m[4:-4]) / np.linalg.norm(m[4:-4]))
+
+        cp, cx = consistency(out_p), consistency(out_x)
+        assert abs(cp - cx) < 0.02, (t_target, cp, cx)

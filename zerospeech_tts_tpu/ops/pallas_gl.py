@@ -27,8 +27,22 @@ long-context: blockwise kernels stream arbitrary utterances through
 VMEM). The OLA normalization envelope is stored in its exact compact
 form — [r-1] head rows + ONE repeated interior row + [r-1] tail rows
 (the window-square sum is hop-periodic away from the edges) — so its
-VMEM cost is O(r·hop) instead of O(t·hop). Ceiling: 2048 frames (25.6 s
-at the 12.5 ms hop); longer falls back to the XLA path.
+VMEM cost is O(r·hop) instead of O(t·hop). VMEM-carry ceiling: 2048
+frames (25.6 s at the 12.5 ms hop).
+
+Streaming signal carries (v4): beyond 2048 frames the v/u carries move
+to HBM as well (kernel outputs in ANY space) and each sweep becomes a
+dynamic ``fori_loop`` over frame tiles — per tile, DMA in the v rows +
+magnitude + u_prev, analyze/project/synthesize in VMEM, and because
+tiles run in ascending order the tile's own OLA rows are final the
+moment it finishes, so normalization + momentum extrapolation fuse into
+the same pass and the freshly-extrapolated v rows DMA straight back out
+(the r-1 overlap rows ride the loop carry). VMEM is O(tile) regardless
+of length; one tile body compiles once. Mosaic alignment: the lane dim
+is hop zero-padded to a 128 multiple (the padded columns are exactly
+zero through every sweep) and the overlap carry is sublane-padded to 8
+rows. Ceiling: 32768 frames (~6.8 min); consistency matches the XLA
+path and the ≤2048 kernels to float tolerance.
 
 Alignment trick that makes stft/istft matmuls + uniform shifts: with
 ``lead = n_fft//2 - (n_fft - win)//2`` divisible by hop (true for the
@@ -55,8 +69,10 @@ from jax.experimental.pallas import tpu as pltpu
 from zerospeech_tts_tpu.config import AudioConfig
 from zerospeech_tts_tpu.dsp import audio as dsp_audio
 
-MAX_FRAMES = 2048
+MAX_FRAMES = 2048  # v3 ceiling: VMEM-resident signal carries
 STREAM_THRESHOLD = 1024  # above this, magnitudes stream from HBM per tile
+V4_TILE = 256  # v4 frame tile (dynamic fori_loop grid over tiles)
+MAX_FRAMES_V4 = 32768  # v4: HBM-resident carries; ~6.8 min at the 12.5 ms hop
 
 
 def pallas_gl_supported(cfg: AudioConfig, n_frames: int) -> bool:
@@ -69,7 +85,7 @@ def pallas_gl_supported(cfg: AudioConfig, n_frames: int) -> bool:
         # compact-envelope slicing + the hop-periodic interior row need at
         # least one fully-overlapped OLA region
         and n_frames >= 2 * r
-        and n_frames <= MAX_FRAMES
+        and n_frames <= MAX_FRAMES_V4
     )
 
 
@@ -217,6 +233,142 @@ def _gl_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
     out_ref[:] = normalized(acc_ref)
 
 
+@functools.lru_cache(maxsize=8)
+def _gl_v4_constants(cfg: AudioConfig):
+    """v4 bases/envelopes padded to a 128-aligned lane width: the HBM
+    signal carries are [rows, hop_pad] (Mosaic requires the lane dim of
+    dynamically row-sliced refs be tile-aligned; hop=200 is not), so the
+    analysis bases gain zero ROWS [hop..hop_pad) and the synthesis bases
+    zero COLS — the padded columns stay exactly zero through every sweep."""
+    ca_k, sa_k, cs_k, ss_k = _gl_constants(cfg)
+    hop = cfg.hop_length
+    hp = _round_up(hop, 128)
+    wih, wim, wit = _wss_inv_compact(cfg)
+    if hp != hop:
+        d = hp - hop
+        ca_k = np.pad(np.asarray(ca_k), ((0, 0), (0, d), (0, 0)))
+        sa_k = np.pad(np.asarray(sa_k), ((0, 0), (0, d), (0, 0)))
+        cs_k = np.pad(np.asarray(cs_k), ((0, 0), (0, 0), (0, d)))
+        ss_k = np.pad(np.asarray(ss_k), ((0, 0), (0, 0), (0, d)))
+        wih, wim, wit = (np.pad(w, ((0, 0), (0, d))) for w in (wih, wim, wit))
+    return hp, ca_k, sa_k, cs_k, ss_k, wih, wim, wit
+
+
+def _gl_v4_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
+                out_ref, v_ref, u_ref,
+                magbuf, vbuf, uprev, w1buf, w2buf, sem_ref,
+                *, n_iters, r, hop, t, t_pad, tb, alpha):
+    """GL v4 — unbounded-length streaming: v/u signal carries live in HBM
+    (kernel OUTPUTS in ANY space) and every sweep runs a dynamic fori_loop
+    over frame tiles, DMAing per tile: v rows [j0, j0+tb+r-1) in for
+    analysis, mag [j0, j0+tb) in for projection, u_prev [j0, j0+tb) in for
+    momentum, u/v (or the final signal) rows [j0, j0+tb) out. Because
+    tiles run in ascending order, rows [j0, j0+tb) of the OLA accumulate
+    completely once tile j0 finishes (later tiles only touch rows >= j0+tb),
+    so each tile finalizes — envelope-normalizes, extrapolates, writes back
+    — its own rows and hands the r-1 overlap rows to the next tile as the
+    fori_loop carry. VMEM is O(tile) regardless of utterance length; one
+    tile body compiles once (no per-tile unroll)."""
+    bf = jnp.bfloat16
+    fp = ca_ref.shape[2]
+    hp = wim_ref.shape[1]  # 128-aligned lane width (hop zero-padded)
+    ep = _round_up(max(r - 1, 1), 8)  # 8-aligned sublane count for the
+    # overlap carry: Mosaic requires dim-0 ref slices be multiples of the
+    # f32 sublane tile (8); rows [r-1, ep) of the carry are always zero
+    n_tiles = t_pad // tb
+
+    def env_tile(j0, n):
+        """[n, hp] rows j0..j0+n of 1/wss from the compact envelope:
+        interior row everywhere, head/tail rows selected by row index
+        (dynamic j0 -> per-row where instead of static slicing)."""
+        rows = j0 + jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        inv = jnp.broadcast_to(wim_ref[:], (n, hp))
+        for k in range(r - 1):
+            inv = jnp.where(rows == k, wih_ref[k], inv)
+            inv = jnp.where(rows == t + k, wit_ref[k], inv)
+        return inv
+
+    def synth(sre, sim):
+        accj = jnp.zeros((tb + r - 1, hp), jnp.float32)
+        for k in range(r):
+            chunk = jnp.dot(sre, cs_ref[k], preferred_element_type=jnp.float32)
+            if sim is not None:
+                chunk += jnp.dot(sim, ss_ref[k], preferred_element_type=jnp.float32)
+            cp = jnp.pad(chunk, ((0, r - 1), (0, 0)))
+            accj += pltpu.roll(cp, k, 0) if k else cp
+        return accj
+
+    def emit_init(j0, n, final):
+        """u_0 = v_1 = normalized zero-phase synthesis."""
+        w1buf[pl.ds(0, n), :] = final
+        w2buf[pl.ds(0, n), :] = final
+        c1 = pltpu.make_async_copy(w1buf.at[pl.ds(0, n), :], u_ref.at[pl.ds(j0, n), :], sem_ref.at[3])
+        c2 = pltpu.make_async_copy(w2buf.at[pl.ds(0, n), :], v_ref.at[pl.ds(j0, n), :], sem_ref.at[4])
+        c1.start(); c2.start(); c1.wait(); c2.wait()
+
+    def emit_iter(j0, n, final):
+        """u_i = normalized; v_{i+1} = u_i + alpha (u_i - u_{i-1})."""
+        cu = pltpu.make_async_copy(u_ref.at[pl.ds(j0, n), :], uprev.at[pl.ds(0, n), :], sem_ref.at[2])
+        cu.start(); cu.wait()
+        w1buf[pl.ds(0, n), :] = final
+        w2buf[pl.ds(0, n), :] = final + alpha * (final - uprev[pl.ds(0, n), :])
+        c1 = pltpu.make_async_copy(w1buf.at[pl.ds(0, n), :], u_ref.at[pl.ds(j0, n), :], sem_ref.at[3])
+        c2 = pltpu.make_async_copy(w2buf.at[pl.ds(0, n), :], v_ref.at[pl.ds(j0, n), :], sem_ref.at[4])
+        c1.start(); c2.start(); c1.wait(); c2.wait()
+
+    def emit_final(j0, n, final):
+        w1buf[pl.ds(0, n), :] = final
+        c1 = pltpu.make_async_copy(w1buf.at[pl.ds(0, n), :], out_ref.at[pl.ds(j0, n), :], sem_ref.at[3])
+        c1.start(); c1.wait()
+
+    def sweep(analyze, emit):
+        def tile(jt, carry):
+            j0 = pl.multiple_of(jt * tb, tb)
+            cm = pltpu.make_async_copy(mag_ref.at[pl.ds(j0, tb), :], magbuf, sem_ref.at[0])
+            cm.start()
+            if analyze:
+                cv = pltpu.make_async_copy(v_ref.at[pl.ds(j0, tb + ep), :], vbuf, sem_ref.at[1])
+                cv.start()
+            cm.wait()
+            m = magbuf[:, :]
+            if analyze:
+                cv.wait()
+                x16 = vbuf[:].astype(bf)
+                re = jnp.zeros((tb, fp), jnp.float32)
+                im = jnp.zeros_like(re)
+                for k in range(r):
+                    seg = jax.lax.slice(x16, (k, 0), (k + tb, hp))
+                    re += jnp.dot(seg, ca_ref[k], preferred_element_type=jnp.float32)
+                    im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32)
+                norm = jnp.maximum(jnp.sqrt(re * re + im * im), 1e-8)
+                sre, sim = (m * re / norm).astype(bf), (m * im / norm).astype(bf)
+            else:
+                sre, sim = m.astype(bf), None
+            accj = synth(sre, sim)  # [tb + r - 1, hp]
+            accj = jnp.pad(accj, ((0, ep - (r - 1)), (0, 0)))  # -> [tb + ep, hp]
+            # fold the previous tile's overlap rows in (scatter-free and
+            # 8-aligned: Mosaic has no scatter-add, and dim-0 slices must
+            # be sublane-tile multiples)
+            accj = jnp.concatenate([accj[:ep] + carry, accj[ep:]], axis=0)
+            emit(j0, tb, accj[:tb] * env_tile(j0, tb))
+            return accj[tb:]
+
+        carry = jax.lax.fori_loop(0, n_tiles, tile, jnp.zeros((ep, hp), jnp.float32))
+        # epilogue rows [t_pad, t_pad+ep): the real OLA tail when t_pad == t
+        # (+ always-zero alignment rows), harmless junk otherwise (padded
+        # frames have mag 0; the host wrapper never reads past row t+r-2)
+        emit(t_pad, ep, carry * env_tile(t_pad, ep))
+
+    sweep(False, emit_init)
+
+    def body(_, c):
+        sweep(True, emit_iter)
+        return c
+
+    jax.lax.fori_loop(0, n_iters, body, 0)
+    sweep(True, emit_final)
+
+
 def _kernel_vmem(mag_ref, ca, sa, cs, ss, wih, wim, wit, out_ref, v, u, acc, **kw):
     _gl_body(mag_ref, ca, sa, cs, ss, wih, wim, wit, out_ref, v, u, acc,
              None, None, **kw)
@@ -247,6 +399,44 @@ def griffin_lim_pallas(
     if f < fp:
         mag = jnp.pad(mag, ((0, 0), (0, fp - f)))
     wih, wim, wit = (jnp.asarray(w) for w in _wss_inv_compact(cfg))
+
+    if t > MAX_FRAMES:  # v4: HBM signal carries, dynamic tile loop
+        tb = V4_TILE
+        t_pad = _round_up(t, tb)
+        if mag.shape[0] < t_pad:
+            mag = jnp.pad(mag, ((0, t_pad - mag.shape[0]), (0, 0)))
+        ep = _round_up(max(r - 1, 1), 8)  # sublane-aligned carry rows
+        rows_pad = t_pad + ep
+        hp, ca4, sa4, cs4, ss4, wih4, wim4, wit4 = _gl_v4_constants(cfg)
+        kernel = functools.partial(
+            _gl_v4_body,
+            n_iters=n_iters, r=r, hop=hop, t=t, t_pad=t_pad, tb=tb,
+            alpha=cfg.gl_momentum,
+        )
+        sds = jax.ShapeDtypeStruct((rows_pad, hp), jnp.float32)
+        out, _v, _u = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 3,
+            out_shape=(sds, sds, sds),  # out + the v/u HBM carries
+            scratch_shapes=[
+                pltpu.VMEM((tb, fp), jnp.float32),          # mag tile
+                pltpu.VMEM((tb + ep, hp), jnp.float32),     # v rows in
+                pltpu.VMEM((tb, hp), jnp.float32),          # u_prev in
+                pltpu.VMEM((tb, hp), jnp.float32),          # u/out staging
+                pltpu.VMEM((tb, hp), jnp.float32),          # v staging
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(
+            mag,
+            jnp.asarray(ca4), jnp.asarray(sa4), jnp.asarray(cs4), jnp.asarray(ss4),
+            jnp.asarray(wih4), jnp.asarray(wim4), jnp.asarray(wit4),
+        )
+        lead = cfg.n_fft // 2 - (cfg.n_fft - cfg.win_length) // 2
+        return out[:, :hop].reshape(-1)[lead : lead + (t - 1) * hop]
 
     streaming = t > STREAM_THRESHOLD
     # frame tiles bound the transient spectral buffers to [tb, fp]
