@@ -19,6 +19,7 @@ import argparse
 import base64
 import json
 import sys
+import urllib.error
 import urllib.request
 from pathlib import Path
 
@@ -49,7 +50,12 @@ def main() -> None:
         with urllib.request.urlopen(req, timeout=args.timeout) as r:
             out = json.loads(r.read())
     except urllib.error.HTTPError as e:
-        sys.exit(f"HTTP {e.code}: {json.loads(e.read()).get('error')}")
+        body = e.read()
+        try:  # the server sends JSON, but a proxy's 502 page may not be
+            detail = json.loads(body).get("error")
+        except (ValueError, AttributeError):
+            detail = body[:200].decode(errors="replace")
+        sys.exit(f"HTTP {e.code}: {detail}")
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

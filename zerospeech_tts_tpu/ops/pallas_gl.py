@@ -257,7 +257,7 @@ def _gl_v4_constants(cfg: AudioConfig):
 def _gl_v4_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
                 out_ref, v_ref, u_ref,
                 magbuf, vbuf, uprev, w1buf, w2buf, sem_ref,
-                *, n_iters, r, hop, t, t_pad, tb, alpha):
+                *, n_iters, r, t, t_pad, tb, alpha):
     """GL v4 — unbounded-length streaming: v/u signal carries live in HBM
     (kernel OUTPUTS in ANY space) and every sweep runs a dynamic fori_loop
     over frame tiles, DMAing per tile: v rows [j0, j0+tb+r-1) in for
@@ -410,7 +410,7 @@ def griffin_lim_pallas(
         hp, ca4, sa4, cs4, ss4, wih4, wim4, wit4 = _gl_v4_constants(cfg)
         kernel = functools.partial(
             _gl_v4_body,
-            n_iters=n_iters, r=r, hop=hop, t=t, t_pad=t_pad, tb=tb,
+            n_iters=n_iters, r=r, t=t, t_pad=t_pad, tb=tb,
             alpha=cfg.gl_momentum,
         )
         sds = jax.ShapeDtypeStruct((rows_pad, hp), jnp.float32)

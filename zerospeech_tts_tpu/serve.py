@@ -47,6 +47,7 @@ import json
 import threading
 import time
 from collections import deque
+from concurrent import futures
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -71,7 +72,10 @@ class _Request:
         self.future = Future()
 
     def result(self, timeout: float | None = None):
-        return self.future.result(timeout)
+        try:
+            return self.future.result(timeout)
+        except futures.TimeoutError:  # 3.10: NOT an alias of builtin TimeoutError
+            raise TimeoutError("conversion request timed out") from None
 
 
 class ConversionService:
@@ -190,19 +194,26 @@ class ConversionService:
                 self._run(key, batch)
             except BaseException as batch_err:  # noqa: BLE001
                 # one bad utterance must not poison co-batched clients:
-                # retry each request alone; solo failures go to their owner
+                # retry solo — but if the FIRST solo retry also fails, the
+                # failure is systemic (OOM / compile / bug), and replaying
+                # every request would head-of-line-block all other keys for
+                # up to max_batch compiles; fail the rest fast instead
+                systemic: BaseException | None = batch_err if len(batch) == 1 else None
+                first_retry = True
                 for r in batch:
                     if r.future.done():
                         continue
-                    if len(batch) > 1:
-                        try:
-                            self._run(key, [r])
-                            self.served += 1
-                            continue
-                        except BaseException as solo_err:  # noqa: BLE001
-                            r.future.set_exception(solo_err)
-                            continue
-                    r.future.set_exception(batch_err)
+                    if systemic is not None:
+                        r.future.set_exception(systemic)
+                        continue
+                    try:
+                        self._run(key, [r])
+                        self.served += 1
+                    except BaseException as solo_err:  # noqa: BLE001
+                        r.future.set_exception(solo_err)
+                        if first_retry:
+                            systemic = solo_err
+                    first_retry = False
             else:
                 self.served += len(batch)
 
