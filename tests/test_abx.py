@@ -97,3 +97,40 @@ def test_abx_across_speaker_single_exemplars():
     rep = ev.abx_discriminability(items, across_speaker=True)
     assert rep["n_contexts"] > 0
     assert rep["abx"] > 0.9
+
+
+def _dtw_scalar(a, b):
+    """Literal O(Ta*Tb) scalar DP — the oracle for the vectorized
+    anti-diagonal sweep in eval.dtw_distance (same tie-break priority:
+    diagonal, up, left)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    ta, tb = a.shape[0], b.shape[0]
+    d = np.abs(a[:, None, :] - b[None, :, :]).mean(axis=2)
+    acc = np.full((ta + 1, tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    steps = np.zeros((ta + 1, tb + 1), np.int32)
+    for i in range(1, ta + 1):
+        for j in range(1, tb + 1):
+            best = min(acc[i - 1][j], acc[i][j - 1], acc[i - 1][j - 1])
+            if best == acc[i - 1][j - 1]:
+                steps[i, j] = steps[i - 1, j - 1] + 1
+            elif best == acc[i - 1][j]:
+                steps[i, j] = steps[i - 1, j] + 1
+            else:
+                steps[i, j] = steps[i, j - 1] + 1
+            acc[i][j] = d[i - 1, j - 1] + best
+    return float(acc[ta, tb] / max(int(steps[ta, tb]), 1))
+
+
+def test_dtw_vectorized_matches_scalar_dp():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        ta, tb = int(rng.integers(1, 15)), int(rng.integers(1, 15))
+        a = rng.integers(0, 2, (ta, 8))
+        b = rng.integers(0, 2, (tb, 8))
+        assert ev.dtw_distance(a, b) == pytest.approx(_dtw_scalar(a, b), abs=1e-12)
+    # and a longer asymmetric pair
+    a = rng.integers(0, 2, (60, 16))
+    b = rng.integers(0, 2, (45, 16))
+    assert ev.dtw_distance(a, b) == pytest.approx(_dtw_scalar(a, b), abs=1e-12)
