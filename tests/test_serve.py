@@ -189,3 +189,67 @@ def test_batch_failure_retries_individually():
         assert svc._queues == {}
     finally:
         svc.close()
+
+
+def test_bad_first_request_does_not_poison_companions():
+    """FIFO order must not matter: with the poisoned request FIRST in the
+    batch and its failure input-shaped (ValueError), the healthy co-batched
+    requests are still retried solo and served."""
+    from zerospeech_tts_tpu.serve import ConversionService
+
+    class _Acfg:
+        top_db, hop_length = 15.0, 64
+
+    class _StubConverter:
+        batch_size, stats, acfg = 4, None, _Acfg()
+
+        def encode_units_from_wavs(self, wavs, trim=False):
+            if any(len(w) == 4096 for w in wavs):  # poisoned utterance
+                raise ValueError("bad input")
+            return [np.zeros((3, 8), np.int32) for _ in wavs]
+
+    svc = ConversionService(_StubConverter(), {"V001": 0}, window_ms=150.0)
+    try:
+        bad = svc.submit(np.ones(4096, np.float32), (), trim=False)  # first
+        good1 = svc.submit(np.ones(2048, np.float32), (), trim=False)
+        good2 = svc.submit(np.ones(1024, np.float32), (), trim=False)
+        with pytest.raises(ValueError, match="bad input"):
+            bad.result(30)
+        assert good1.result(30)["units"].shape == (3, 8)
+        assert good2.result(30)["units"].shape == (3, 8)
+    finally:
+        svc.close()
+
+
+def test_submit_rejects_overlong_utterance(service):
+    service.max_frames = 16
+    try:
+        with pytest.raises(ValueError, match="frames"):
+            service.submit(_tone(n=16000), ("V001",), trim=False)
+    finally:
+        service.max_frames = 32768
+
+
+def test_http_rejects_oversized_body(service):
+    import scipy.io.wavfile
+
+    httpd = serve_http(service, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    service.max_body_bytes = 1024
+    try:
+        buf = io.BytesIO()
+        scipy.io.wavfile.write(buf, 16000, (_tone() * 32767).astype(np.int16))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/units?trim=0", data=buf.getvalue(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "cap" in json.loads(e.read())["error"]
+    finally:
+        service.max_body_bytes = 64 << 20
+        httpd.shutdown()
+        httpd.server_close()

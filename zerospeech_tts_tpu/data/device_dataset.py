@@ -164,6 +164,8 @@ def _pack_arena(chunks, spks, real, dtype):
 
 @jax.tree_util.register_pytree_node_class
 class DeviceDataset:
+    supports_pairs = True  # sample_batch implements the pair fields (solver protocol)
+
     def __init__(self, arena, starts, lens, spk, real_mask, hps: Hps):
         self.arena = arena          # [total_frames, F] on device
         self.starts = starts        # [U] int32
@@ -230,6 +232,8 @@ class ShardedDeviceDataset:
     ``Solver.train_many`` consumes it unchanged. Non-target utterances
     are round-robin partitioned; target-voice utterances are replicated
     to every shard so stage-2 real sampling keeps its exact semantics."""
+
+    supports_pairs = True  # sample_batch implements the pair fields (solver protocol)
 
     def __init__(self, arena, starts, lens, spk, real_w, x_w, hps: Hps, mesh):
         self.arena = arena      # [D, Lmax, F] sharded P('data')

@@ -96,12 +96,19 @@ class ConversionService:
         window_ms: float = 5.0,
         max_batch: int | None = None,
         request_timeout: float = 900.0,
+        max_body_bytes: int = 64 << 20,
+        max_frames: int = 32768,
     ):
         self.converter = converter
         self.speakers = dict(speakers)
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch or converter.batch_size
         self.request_timeout = request_timeout
+        # admission control: one oversized upload would otherwise allocate
+        # unbounded memory AND force a fresh length-bucket XLA compile that
+        # head-of-line-blocks the single dispatch worker for every client
+        self.max_body_bytes = max_body_bytes
+        self.max_frames = max_frames  # 32768 = Pallas-GL ceiling (~6.8 min)
         self.dispatches = 0  # observability: one per program-batch run
         self.served = 0
         self._seq = 0
@@ -139,6 +146,15 @@ class ConversionService:
             wav = trim_silence(wav, self.converter.acfg.top_db)
         if len(wav) < self.converter.acfg.hop_length + 1:
             raise ValueError("utterance shorter than one frame after trim")
+        from zerospeech_tts_tpu.dsp.audio import n_frames_for
+
+        n_frames = n_frames_for(len(wav), self.converter.acfg)
+        if self.max_frames and n_frames > self.max_frames:
+            raise ValueError(
+                f"utterance is {n_frames} frames, above the service cap "
+                f"{self.max_frames} (each new length bucket compiles a new "
+                "XLA program; split long audio client-side)"
+            )
         with self._cv:
             if self._stopping:
                 raise RuntimeError("service is shut down")
@@ -194,12 +210,20 @@ class ConversionService:
                 self._run(key, batch)
             except BaseException as batch_err:  # noqa: BLE001
                 # one bad utterance must not poison co-batched clients:
-                # retry solo — but if the FIRST solo retry also fails, the
-                # failure is systemic (OOM / compile / bug), and replaying
-                # every request would head-of-line-block all other keys for
-                # up to max_batch compiles; fail the rest fast instead
-                systemic: BaseException | None = batch_err if len(batch) == 1 else None
-                first_retry = True
+                # retry solo. Input-shaped errors (ValueError/KeyError) are
+                # per-request by construction and never stop the retries —
+                # FIFO order must not decide whether healthy companions get
+                # served. Other errors (OOM / compile / bug) are classified
+                # systemic only after TWO distinct requests fail solo, at
+                # which point replaying the rest would head-of-line-block
+                # all other keys for up to max_batch compiles; fail fast.
+                def _input_shaped(e: BaseException) -> bool:
+                    return isinstance(e, (ValueError, KeyError))
+
+                systemic: BaseException | None = None
+                if len(batch) == 1 and not _input_shaped(batch_err):
+                    systemic = batch_err
+                solo_failures = 0
                 for r in batch:
                     if r.future.done():
                         continue
@@ -211,9 +235,10 @@ class ConversionService:
                         self.served += 1
                     except BaseException as solo_err:  # noqa: BLE001
                         r.future.set_exception(solo_err)
-                        if first_retry:
-                            systemic = solo_err
-                    first_retry = False
+                        if not _input_shaped(solo_err):
+                            solo_failures += 1
+                            if solo_failures >= 2:
+                                systemic = solo_err
             else:
                 self.served += len(batch)
 
@@ -290,6 +315,12 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _read_wav(self) -> np.ndarray:
         n = int(self.headers.get("Content-Length", 0))
+        cap = self.service.max_body_bytes
+        if cap and n > cap:
+            # reject BEFORE reading: the unread body poisons keep-alive,
+            # so drop the connection after responding
+            self.close_connection = True
+            raise ValueError(f"request body {n} bytes exceeds the {cap}-byte cap")
         body = self.rfile.read(n)
         sr = self.service.converter.acfg.sr
         if self.headers.get("Content-Type", "").startswith("application/json"):

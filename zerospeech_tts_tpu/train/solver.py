@@ -463,9 +463,10 @@ class Solver:
 
         state = self._stamp_train_start(state, mode)
         want_pairs = pairs and mode in ("pretrain_AE", "train") and self.hps.lambda_pair > 0
-        import inspect
-
-        takes_pairs = "pairs" in inspect.signature(dataset.sample_batch).parameters
+        # protocol, not signature-sniffing: datasets that implement the pair
+        # fields declare supports_pairs = True (DeviceDataset and
+        # ShardedDeviceDataset both do); anything else is called plain
+        takes_pairs = getattr(dataset, "supports_pairs", False)
 
         def sample(k):
             b = (
