@@ -406,3 +406,110 @@ def test_mulaw_pcm_wire_converter(tiny_hps):
     eu = c_mu.encode_units_from_wavs(wavs, trim=False)
     agree_e = np.mean([(a == b).mean() for a, b in zip(u0, eu)])
     assert agree_e > 0.95, agree_e
+
+
+def test_tp_train_step_matches_replicated(tiny_hps):
+    """A model-sharded (TP) train step must compute the same update as the
+    replicated one — the guarantee behind wiring place_state into the CLI
+    (--mesh model=M engages TP for real)."""
+    from zerospeech_tts_tpu.parallel import shard_state
+
+    h = tiny_hps.replace(batch_size=8)
+    solver = Solver(h)
+    rng = np.random.default_rng(3)
+    batch = {
+        "x": rng.standard_normal((8, h.seg_len, h.n_feat)).astype(np.float32),
+        "spk": rng.integers(0, h.n_speakers, 8).astype(np.int32),
+    }
+    mesh = make_mesh(data=4, model=2)
+    bsh = batch_sharding(mesh)
+
+    s_rep = replicate_state(solver.init_state(jax.random.PRNGKey(0)), mesh)
+    s_rep, m_rep = solver.step_train(s_rep, jax.device_put(batch, bsh))
+
+    s_tp = shard_state(solver.init_state(jax.random.PRNGKey(0)), mesh, min_size=128)
+    assert any(
+        not leaf.sharding.is_fully_replicated for leaf in jax.tree.leaves(s_tp.enc)
+    )  # TP actually engaged
+    s_tp, m_tp = solver.step_train(s_tp, jax.device_put(batch, bsh))
+
+    assert float(m_rep["loss_rec"]) == pytest.approx(float(m_tp["loss_rec"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s_rep.enc), jax.tree.leaves(s_tp.enc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_place_state_tp_vs_dp(tiny_hps):
+    """place_state shards on a model>1 mesh and replicates otherwise; the
+    device-0 byte accounting proves which happened."""
+    from zerospeech_tts_tpu.parallel import device0_bytes, place_state
+
+    solver = Solver(tiny_hps)
+    state = solver.init_state(jax.random.PRNGKey(0))
+
+    mesh_tp = make_mesh(data=4, model=2)
+    s_tp = place_state(state, mesh_tp, min_size=128)
+    dev_b, tot_b = device0_bytes((s_tp.enc, s_tp.dec), mesh_tp)
+    assert dev_b < tot_b
+
+    mesh_dp = make_mesh(data=8, model=1)
+    s_dp = place_state(state, mesh_dp)
+    dev_b, tot_b = device0_bytes((s_dp.enc, s_dp.dec), mesh_dp)
+    assert dev_b == tot_b
+    assert all(leaf.sharding.is_fully_replicated for leaf in jax.tree.leaves(s_dp.enc))
+
+
+def test_restore_into_tp_sharded_template(tmp_path, tiny_hps):
+    """Orbax restore must land checkpoint values INTO the TP-sharded
+    template's shardings (the CLI --mesh model=M resume path): values equal
+    the saved state, placement equals the template's."""
+    from zerospeech_tts_tpu.parallel import shard_state
+    from zerospeech_tts_tpu.train import CheckpointManager
+
+    solver = Solver(tiny_hps)
+    state = solver.init_state(jax.random.PRNGKey(7))
+    mgr = CheckpointManager(tmp_path / "ck", hps=tiny_hps)
+    mgr.save(state, wait=True)
+
+    mesh = make_mesh(data=4, model=2)
+    template = shard_state(solver.init_state(jax.random.PRNGKey(0)), mesh, min_size=128)
+    restored = mgr.restore(template)
+    mgr.close()
+
+    t_leaves = jax.tree.leaves(template.enc)
+    r_leaves = jax.tree.leaves(restored.enc)
+    s_leaves = jax.tree.leaves(state.enc)
+    assert any(not t.sharding.is_fully_replicated for t in t_leaves)
+    for t, r, s in zip(t_leaves, r_leaves, s_leaves):
+        assert r.sharding == t.sharding
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(s))
+
+
+def test_enc_f32_units_exact_under_bf16(tiny_hps):
+    """The unit-exact deployment config (encoder_dtype=float32 + int16 PCM
+    wire, decoder/GL in bf16) must reproduce the all-f32 PCM-in path's
+    discrete units BIT-EXACTLY — the BASELINE.md 'identical discrete-unit
+    encodings' gate at deployment speed (VERDICT r2 item 2)."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.convert import Converter
+
+    h, acfg, state, wavs = _wav_test_setup(tiny_hps)
+    c_f32 = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    c_exact = Converter(
+        h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32,
+        compute_dtype="bfloat16", encoder_dtype="float32",
+    )
+    u0, _ = c_f32.convert_wavs_multi(wavs, [0, 1], trim=False)
+    u1, w1 = c_exact.convert_wavs_multi(wavs, [0, 1], trim=False)
+    for a, b in zip(u0, u1):
+        np.testing.assert_array_equal(a, b)
+    assert all(w.dtype == np.int16 for w in w1[0])
+    # all-bf16 is allowed to flip borderline units (that's why the exact
+    # config exists) but must stay close
+    c_fast = Converter(
+        h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32,
+        compute_dtype="bfloat16",
+    )
+    u2, _ = c_fast.convert_wavs_multi(wavs, [0, 1], trim=False)
+    agree = np.mean([(a == b).mean() for a, b in zip(u0, u2)])
+    assert agree > 0.9, agree

@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="run encoder/decoder matmuls in bfloat16 (2x MXU rate; "
                         "may flip borderline units)")
+    p.add_argument("--enc-f32", action="store_true",
+                   help="keep the ENCODER in float32 even under --bf16: with "
+                        "the int16 PCM wire this makes the discrete units "
+                        "bit-identical to the all-f32 path while decode/GL "
+                        "keep the bf16 MXU rate (unit-exact deployment config)")
     p.add_argument("--wire-mulaw", action="store_true",
                    help="8-bit mu-law companding on both PCM wire directions "
                         "(halves the dominant transfer bytes on remote/tunneled "
@@ -149,8 +154,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-request wait budget in seconds; the FIRST "
                         "request of each new utterance-length bucket pays "
                         "that bucket's XLA compile, so keep this generous")
+    p.add_argument("--max-body-mb", type=int, default=64,
+                   help="reject request bodies above this size with 400 "
+                        "(0 = unlimited)")
+    p.add_argument("--max-frames", type=int, default=32768,
+                   help="reject utterances longer than this many frames "
+                        "(each new length bucket costs an XLA compile; "
+                        "0 = unlimited)")
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--enc-f32", action="store_true",
+                   help="f32 encoder under --bf16 (unit-exact; see convert)")
     p.add_argument("--wire-mulaw", action="store_true")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"])
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
@@ -224,11 +238,14 @@ def _mesh_from_arg(spec: str | None):
 def _restore(solver, ckpt, mesh=None, step=None):
     import jax
 
-    from zerospeech_tts_tpu.parallel import replicate_state
+    from zerospeech_tts_tpu.parallel import place_state
 
     template = solver.init_state(jax.random.PRNGKey(solver.hps.seed))
     if mesh is not None:
-        template = replicate_state(template, mesh)
+        # TP-sharded template when the mesh has a model axis > 1 (orbax
+        # restores straight into the template's shardings), pure DP
+        # replication otherwise
+        template = place_state(template, mesh)
     return ckpt.restore(template, step=step)
 
 
@@ -388,9 +405,9 @@ def cmd_train1(args):
     else:
         state = solver.init_state(jax.random.PRNGKey(hps.seed))
         if mesh is not None:
-            from zerospeech_tts_tpu.parallel import replicate_state
+            from zerospeech_tts_tpu.parallel import place_state
 
-            state = replicate_state(state, mesh)
+            state = place_state(state, mesh)
     from zerospeech_tts_tpu.data.device_dataset import DeviceDataset, ShardedDeviceDataset
 
     bsh = None
@@ -488,6 +505,7 @@ def _load_converter(args, hps, acfg):
         mesh=_mesh_from_arg(args.mesh),
         feat=getattr(args, "feat", "lin"),
         compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+        encoder_dtype="float32" if getattr(args, "enc_f32", False) else None,
         wire="uint8" if getattr(args, "wire_uint8", False) else "bf16",
         pcm_wire="mulaw" if getattr(args, "wire_mulaw", False) else "int16",
     )
@@ -616,6 +634,7 @@ def cmd_serve(args):
     service = ConversionService(
         conv, speakers, window_ms=args.batch_window_ms, max_batch=args.batch_size,
         request_timeout=args.request_timeout,
+        max_body_bytes=args.max_body_mb << 20, max_frames=args.max_frames,
     )
     httpd = serve_http(service, host=args.host, port=args.port)
     host, port = httpd.server_address[:2]

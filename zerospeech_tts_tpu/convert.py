@@ -72,6 +72,12 @@ class Converter:
         mesh=None,  # shard the utterance batch over the mesh 'data' axis
         feat: str = "lin",  # which features the AE was trained on (lin|mel)
         compute_dtype: str = "float32",  # bfloat16 doubles MXU rate on real v5e
+        encoder_dtype: str | None = None,  # None -> compute_dtype. "float32"
+        # + pcm_wire="int16" is the UNIT-EXACT deployment config: the
+        # encoder (whose discrete units are the challenge's primary
+        # artifact) runs in f32 while the decoder+Griffin-Lim (audio
+        # quality, far above the GL noise floor) keep the bf16 MXU rate.
+        # Encoder cost is small next to GL-100, so this costs little.
         wire: str = "bf16",  # host->device feature encoding: bf16 | uint8
         # uint8 quantizes each utterance's features to 256 levels over its
         # own [min, max] (dequantized on-device) — halves the input bytes
@@ -93,6 +99,7 @@ class Converter:
         self.pcm_wire = pcm_wire
         self.feat = feat
         self.compute_dtype = jnp.dtype(compute_dtype)
+        self.encoder_dtype = jnp.dtype(encoder_dtype) if encoder_dtype else self.compute_dtype
         self.hps = hps
         self.acfg = acfg
         self.mesh = mesh
@@ -138,9 +145,11 @@ class Converter:
 
             if pallas_gl_vmap_supported(self.acfg, n_frames):
                 gl_method = "pallas"  # whole-GL-in-VMEM kernel (1.5x XLA path)
-            elif self.mesh is None and pallas_gl_supported(self.acfg, n_frames):
-                # scan over a mesh-sharded batch axis would gather; keep the
-                # sharded program on the (vmappable) XLA path instead
+            elif pallas_gl_supported(self.acfg, n_frames):
+                # per-utterance kernel under lax.map; with a mesh the map
+                # runs INSIDE shard_map over the local batch slice (a bare
+                # scan over a mesh-sharded axis would gather), so long
+                # sharded buckets keep the kernel too
                 gl_method = "pallas_seq"
         return gl_method
 
@@ -148,15 +157,16 @@ class Converter:
         """Shared traced tail of every conversion program: normalized f32
         features [B, T, F] -> (bit-packed units, per-target PCM16)."""
         acfg = self.acfg
-        cd = self.compute_dtype
-        if cd != jnp.float32:
+        cd, ed = self.compute_dtype, self.encoder_dtype
+        if ed != jnp.float32:
             enc_params = jax.tree.map(
-                lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, enc_params
+                lambda p: p.astype(ed) if p.dtype == jnp.float32 else p, enc_params
             )
+        if cd != jnp.float32:
             dec_params = jax.tree.map(
                 lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
             )
-        logits = self.encoder.apply(enc_params, x.astype(cd)).astype(jnp.float32)
+        logits = self.encoder.apply(enc_params, x.astype(ed)).astype(jnp.float32)
         units = hard_units(logits)
         z = units.astype(cd)
 
@@ -172,7 +182,24 @@ class Converter:
             voc = lambda m: vocoder(  # noqa: E731
                 m, acfg, n_iters=self.gl_iters, method="pallas" if seq else gl_method
             )
-            wav = jax.lax.map(voc, xh) if seq else jax.vmap(voc)(xh)
+            if seq and self.mesh is not None:
+                # sharded long bucket: each device lax.maps the kernel over
+                # its LOCAL slice of the utterance batch (batch_size is
+                # rounded up to a multiple of the data axis in __init__)
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                wav = shard_map(
+                    lambda a: jax.lax.map(voc, a),
+                    mesh=self.mesh,
+                    in_specs=P("data"),
+                    out_specs=P("data"),
+                    check_rep=False,
+                )(xh)
+            elif seq:
+                wav = jax.lax.map(voc, xh)
+            else:
+                wav = jax.vmap(voc)(xh)
             if self.pcm_wire == "mulaw":  # 8-bit companded down-wire
                 return mulaw_compress_device(jnp.clip(wav, -1.0, 1.0))
             return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
@@ -380,9 +407,12 @@ class Converter:
                     w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
-                inflight.append(
-                    (chunk, prog(self.enc_params, jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)))
-                )
+                x, sm_d, ss_d = jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)
+                if self.mesh is not None:  # same DP layout as convert_wavs_multi
+                    x = jax.device_put(x, self._batch_sharding)
+                    sm_d = jax.device_put(sm_d, self._batch_sharding)
+                    ss_d = jax.device_put(ss_d, self._batch_sharding)
+                inflight.append((chunk, prog(self.enc_params, x, sm_d, ss_d)))
         for chunk, packed_d in inflight:
             units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : hps.emb_size]
             for j, i in enumerate(chunk):
@@ -419,6 +449,10 @@ class Converter:
                 while len(xs) < self.batch_size:
                     xs.append(np.zeros_like(xs[0]))
                 x, wlo, wscale = self._wire_batch(xs)
+                if self.mesh is not None:  # same DP layout as convert_features_multi
+                    x = jax.device_put(x, self._batch_sharding)
+                    wlo = jax.device_put(wlo, self._batch_sharding)
+                    wscale = jax.device_put(wscale, self._batch_sharding)
                 inflight.append((chunk, prog(self.enc_params, x, wlo, wscale)))
         for chunk, packed_d in inflight:
             units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : self.hps.emb_size]

@@ -12,8 +12,10 @@ batch-of-utterances sharding + blockwise DSP kernels.
 from zerospeech_tts_tpu.parallel.distributed import initialize, is_primary  # noqa: F401
 from zerospeech_tts_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    device0_bytes,
     make_mesh,
     param_shardings,
+    place_state,
     replicate_state,
     replicated,
     shard_state,
