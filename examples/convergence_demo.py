@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--report", default=None,
+                    help="also write the JSON report here (e.g. "
+                         "docs/convergence_report.json for tools/regen_docs.py)")
     ap.add_argument("--lambda-pair", type=float, default=None,
                     help="pair-objective weight (default: Hps default; 0 = off, "
                          "the unit-stability A/B baseline)")
@@ -129,15 +132,13 @@ def main():
         ("pretrain_AE", args.iters),
         ("pretrain_C", args.iters // 2),
         ("train", args.iters),
-        ("patchGAN", args.iters // 6),
     ]
     for mode, iters in phases:
         t0 = time.time()
         state, m = sol.train_many(state, ds, mode, iters)
         m = {k: float(v) for k, v in m.items()}
         dt = time.time() - t0
-        steps = iters * (hps.n_critic + 1) if mode == "patchGAN" else iters
-        print(f"== {mode}: {iters} iters in {dt:.1f}s ({steps / dt:.0f} steps/s) -> {m}")
+        print(f"== {mode}: {iters} iters in {dt:.1f}s ({iters / dt:.0f} steps/s) -> {m}")
         if mode == "pretrain_AE":
             report["loss_rec_after_ae"] = m["loss_rec"]
         if mode == "pretrain_C":
@@ -145,10 +146,9 @@ def main():
         if mode == "train":
             report["loss_rec_final"] = m["loss_rec"]
             report["clf_acc_final"] = m["acc_clf"]
-        report[f"{mode}_steps_per_sec"] = round(steps / dt, 1)
+        report[f"{mode}_steps_per_sec"] = round(iters / dt, 1)
 
-    # conversion: test utterances (held-out content) -> both target voices
-    conv = Converter(hps, acfg, state.enc, state.dec, gl_iters=40, batch_size=4, stats=stats)
+    # held-out test set, shared by the stage-2 A/B and the final metrics
     import h5py
 
     feats, names, src_spks = [], [], []
@@ -158,12 +158,84 @@ def main():
                 feats.append(f[f"test/{spk}/{utt}/lin"][:])
                 names.append(utt)
                 src_spks.append(spk)
-    units, wavs = conv.convert_features_multi(feats, [manifest["speakers"]["V001"],
-                                                      manifest["speakers"]["V002"]],
-                                              tgt_names=["V001", "V002"],
-                                              src_speakers=src_spks)
+    tgt_ids = [manifest["speakers"]["V001"], manifest["speakers"]["V002"]]
+
+    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+
+    env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in ("V001", "V002")}
+
+    def convert_and_measure(st):
+        """Convert held-out content to both target voices and measure how
+        target-shaped + how sharp the outputs are (the stage-2 A/B probe)."""
+        c = Converter(hps, acfg, st.enc, st.dec, gl_iters=40, batch_size=4, stats=stats)
+        u, w = c.convert_features_multi(
+            feats, tgt_ids, tgt_names=["V001", "V002"], src_speakers=src_spks
+        )
+        d_tgt_all, sharp_all, hits, total = [], [], 0, 0
+        for k, tgt in enumerate(("V001", "V002")):
+            other = "V002" if tgt == "V001" else "V001"
+            for wav in w[k]:
+                _, lin = dsp_audio.get_spectrograms(wav.astype(np.float32) / 32767.0, acfg)
+                e = lin.mean(axis=0)
+                d_t = float(np.linalg.norm(e - env[tgt]))
+                d_o = float(np.linalg.norm(e - env[other]))
+                d_tgt_all.append(d_t)
+                hits += int(d_t < d_o)
+                total += 1
+                # spectral sharpness: mean |temporal derivative| of the lin
+                # spectrogram — the blur the L1-trained decoder leaves and
+                # the patch critic is there to remove (ref stage-2 purpose)
+                sharp_all.append(float(np.abs(np.diff(lin, axis=0)).mean()))
+        return u, w, {
+            "target_envelope_dist": round(float(np.mean(d_tgt_all)), 4),
+            "target_envelope_accuracy": hits / total,
+            "spectral_sharpness": round(float(np.mean(sharp_all)), 5),
+        }
+
+    # -------- stage-2 patchGAN A/B: convert before, train D/G with a
+    # W-distance trend, convert after (VERDICT r2 item 5: exists != shown)
+    _, _, pre = convert_and_measure(state)
+    report["stage2_pre"] = pre
+    gan_iters = args.iters // 6
+    n_chunks = 4
+    trend = []
+    t0 = time.time()
+    for ci in range(n_chunks):
+        state, m = sol.train_many(state, ds, "patchGAN", max(1, gan_iters // n_chunks))
+        trend.append(round(float(m["w_dist"]), 4))
+    dt = time.time() - t0
+    gan_steps = gan_iters * (hps.n_critic + 1)
+    print(f"== patchGAN: {gan_iters} iters in {dt:.1f}s ({gan_steps / dt:.0f} steps/s) "
+          f"w_dist trend {trend}")
+    report["patchGAN_steps_per_sec"] = round(gan_steps / dt, 1)
+    # the critic's real-vs-fake Wasserstein estimate: finite and moving is
+    # the training-health signal (it rises as D learns, falls as G catches up)
+    report["stage2_w_dist_trend"] = trend
+    units, wavs, post = convert_and_measure(state)
+    report["stage2_post"] = post
+    report["stage2_envelope_dist_delta"] = round(
+        pre["target_envelope_dist"] - post["target_envelope_dist"], 4
+    )
+    report["stage2_sharpness_delta"] = round(
+        post["spectral_sharpness"] - pre["spectral_sharpness"], 5
+    )
     report["n_test_utts"] = len(names)
     report["units_active_fraction"] = float(np.mean([u.mean() for u in units]))
+
+    # -------- mini-ABX over the dumped units (VERDICT r2 item 6): class =
+    # synthetic content id, across-speaker mode (one exemplar per
+    # class/speaker in the held-out split). Units go through the real
+    # file dump + item-file loader, exercising the `zstts eval --abx` path.
+    from zerospeech_tts_tpu.convert import write_units
+
+    units_dir = work / "units"
+    item_lines = []
+    for utt, u in zip(names, units):
+        write_units(units_dir / f"{utt}.txt", u)
+        spk, ci = utt.rsplit("_", 1)
+        item_lines.append(f"{utt} 0 {u.shape[0]} c{int(ci)} {spk}")
+    item_file = work / "abx_items.txt"
+    item_file.write_text("# utt start end cls spk\n" + "\n".join(item_lines) + "\n")
 
     # unit stability under window shifts — the property the pair objective
     # trains for (lambda_pair=0 gives the A/B baseline)
@@ -173,26 +245,17 @@ def main():
         sol, state, work / "ds.h5", hps, split="test", n_utts=8
     )["unit_stability"]
 
-    # spectral-envelope check: converted-to-V001 outputs should sit closer to
-    # V001's train envelope than to V002's
-    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+    abx_items = ev.load_abx_items(item_file, units_dir)
+    abx = ev.abx_discriminability(abx_items, across_speaker=True)
+    report["abx"] = abx["abx"]
+    report["abx_n_contexts"] = abx["n_contexts"]
 
-    env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in ("V001", "V002")}
-    hits = 0
-    total = 0
-    for k, tgt in enumerate(("V001", "V002")):
-        other = "V002" if tgt == "V001" else "V001"
-        for w in wavs[k]:
-            mel, lin = dsp_audio.get_spectrograms(w.astype(np.float32) / 32767.0, acfg)
-            e = lin.mean(axis=0)
-            d_tgt = np.linalg.norm(e - env[tgt])
-            d_other = np.linalg.norm(e - env[other])
-            hits += int(d_tgt < d_other)
-            total += 1
-    report["target_envelope_accuracy"] = hits / total
+    report["target_envelope_accuracy"] = post["target_envelope_accuracy"]
     report["wall_seconds"] = round(time.time() - t_start, 1)
 
     print(json.dumps(report, indent=2))
+    if args.report:
+        Path(args.report).write_text(json.dumps(report, indent=2) + "\n")
     # NB: with speaker_norm the targets are z-scored (unit variance), so L1
     # shrinks more slowly than on [0,1] features — 0.75x at 600 iters is a
     # meaningful fit (0.6x was calibrated on un-normalized targets)
@@ -206,6 +269,11 @@ def main():
         # ...and the adversarial phase must push it back toward/below chance
         and report["clf_acc_final"] <= report["clf_acc_after_pretrain"]
         and report["target_envelope_accuracy"] >= 0.5
+        # stage-2 health: the critic's W-distance estimate stays finite
+        # (GP keeps it bounded), and units discriminate held-out content
+        # classes above chance
+        and all(np.isfinite(v) for v in report["stage2_w_dist_trend"])
+        and report["abx"] > 0.55
     )
     print("CONVERGENCE:", "PASS" if ok else "WEAK")
     return 0 if ok else 1

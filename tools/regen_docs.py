@@ -37,8 +37,28 @@ def convergence_block() -> str:
         ("units active fraction", f"{rep['units_active_fraction']:.2f}", "no bit collapse"),
         ("target-envelope accuracy", f"**{rep['target_envelope_accuracy']:.2f}**",
          "conversions land nearer the target speaker's spectrum"),
-        ("wall time", f"{rep['wall_seconds']:.0f} s", "incl. corpus build + compiles"),
     ]
+    if "abx" in rep:
+        rows.append(
+            ("mini-ABX (across-speaker, held-out content)", f"**{rep['abx']:.3f}**",
+             f"units discriminate content classes ({rep['abx_n_contexts']} contexts; "
+             "0.5 = chance)")
+        )
+    if "stage2_pre" in rep:
+        pre, post = rep["stage2_pre"], rep["stage2_post"]
+        rows += [
+            ("stage-2 W-distance trend", str(rep["stage2_w_dist_trend"]),
+             "critic's real-vs-fake estimate over the patchGAN phase"),
+            ("stage-2 target-envelope distance",
+             f"{pre['target_envelope_dist']:.2f} → {post['target_envelope_dist']:.2f}",
+             "negative delta = GAN pulls outputs toward the target voice"
+             if rep["stage2_envelope_dist_delta"] > 0
+             else "patchGAN did not reduce envelope distance at demo scale"),
+            ("stage-2 spectral sharpness",
+             f"{pre['spectral_sharpness']:.4f} → {post['spectral_sharpness']:.4f}",
+             "temporal-derivative energy (the blur the patch critic targets)"),
+        ]
+    rows.append(("wall time", f"{rep['wall_seconds']:.0f} s", "incl. corpus build + compiles"))
     lines = [
         f"{rep['iters']}/300/{rep['iters']}/100 iterations of the four phases on a "
         f"6-speaker synthetic corpus (values straight from "
@@ -75,6 +95,31 @@ def bench_block() -> str:
         lines.append(
             f"- flagship training {parsed['train_steps_per_sec']} steps/s "
             f"(device-resident data, multi-step dispatch)"
+        )
+    if parsed.get("utt_per_sec_device_resident"):
+        mfu = parsed.get("mfu")
+        lines.append(
+            f"- device-resident (no-wire): "
+            f"**{parsed['utt_per_sec_device_resident']} utt/s/chip**, RTF "
+            f"{parsed.get('rtf_device_resident')}"
+            + (f", {parsed.get('program_gflops')} GFLOP/program, **MFU {mfu}**"
+               if mfu else "")
+        )
+    if parsed.get("utt_per_sec_exact"):
+        lines.append(
+            f"- unit-exact config ({parsed.get('exact_config')}): "
+            f"{parsed['utt_per_sec_exact']} utt/s wire-bound"
+            + (f", {parsed['utt_per_sec_device_resident_exact']} utt/s device-resident"
+               if parsed.get("utt_per_sec_device_resident_exact") else "")
+            + f" — agreement vs f32 oracle "
+            f"{parsed.get('units_agreement_exact_vs_f32')}"
+        )
+    if parsed.get("corpus_conversion_throughput_mixed"):
+        lines.append(
+            f"- mixed-length corpus ({parsed.get('mixed_desc')}): "
+            f"{parsed['corpus_conversion_throughput_mixed']} utt/s, RTF "
+            f"{parsed.get('mixed_rtf')}, padding overhead "
+            f"{parsed.get('mixed_padding_overhead')}"
         )
     return "\n".join(lines)
 
