@@ -154,6 +154,219 @@ def main():
     u_ref = [u for u, _ in conv_f32.convert_features(feats[:n_chk], 0)]
     units_agreement = float(np.mean([(a == b).mean() for a, b in zip(u_fast, u_ref)]))
 
+    # ------------------------------------------------------------------
+    # UNIT-EXACT deployment config (VERDICT r2 item 2): f32 encoder +
+    # int16 PCM up-wire makes the discrete units — the challenge's
+    # primary artifact — bit-identical to the all-f32 pipeline, while the
+    # decoder + Griffin-Lim (audio only) keep the bf16 MXU rate and the
+    # down-wire stays mu-law. Both configs are recorded every run.
+    exact = {}
+    if not quick:
+        conv_exact = Converter(
+            hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
+            batch_size=n_utts, compute_dtype="bfloat16",
+            encoder_dtype="float32", pcm_wire="int16",
+        )
+        conv_exact.convert_wavs_multi(wavs[:1], [0], trim=False)  # compile
+        times_ex = []
+        for p in range(n_passes):
+            t0 = time.perf_counter()
+            u_exact, _w = conv_exact.convert_wavs_multi(wavs, [0], trim=False)
+            times_ex.append(time.perf_counter() - t0)
+            print(f"exact pass {p}: {n_utts / times_ex[-1]:.1f} utt/s", file=sys.stderr)
+        dt_ex = float(np.median(times_ex))
+        # the f32 oracle: the SAME PCM-in program all-f32 (int16 wire);
+        # units do not depend on gl_iters, so GL-2 keeps the compile small
+        conv_oracle = Converter(
+            hps, acfg, enc_params, dec_params, gl_iters=2, batch_size=n_chk,
+            compute_dtype="float32", pcm_wire="int16",
+        )
+        u_oracle, _ = conv_oracle.convert_wavs_multi(wavs[:n_chk], [0], trim=False)
+        exact_agree = float(
+            np.mean([(a == b).mean() for a, b in zip(u_exact[:n_chk], u_oracle)])
+        )
+        # fast-config flips measured against the exact config on ALL utts
+        fast_vs_exact = float(
+            np.mean([(a == b).mean() for a, b in zip(units_list, u_exact)])
+        )
+        exact = {
+            "utt_per_sec_exact": round(n_utts / dt_ex, 4),
+            "exact_config": "f32 encoder + int16 PCM up-wire, bf16 decode/GL, mu-law down-wire off",
+            "units_agreement_exact_vs_f32": round(exact_agree, 4),
+            "units_agreement_fast_vs_exact_all": round(fast_vs_exact, 4),
+        }
+
+    # ------------------------------------------------------------------
+    # DEVICE-RESIDENT (no-wire) throughput + MFU (VERDICT r2 item 1): the
+    # compute half of the north-star that survives onto real hardware.
+    # Inputs are pre-staged in HBM, outputs left on device; each rep uses
+    # a DIFFERENT staged buffer set (the tunnel short-circuits repeated
+    # identical calls on identical buffers — recorded environment note).
+    device_resident = {}
+    if not quick:
+        import jax.numpy as jnp
+
+        hop = acfg.hop_length
+        n_samp = n_frames * hop - 1
+        sm = np.zeros((n_utts, hps.n_feat), np.float32)
+        ss = np.ones((n_utts, hps.n_feat), np.float32)
+        tm = np.zeros((1, hps.n_feat), np.float32)
+        tsd = np.ones((1, hps.n_feat), np.float32)
+        spk_mat = np.zeros((1, n_utts), np.int32)
+
+        def stage(conv_obj, rot):
+            pcm = conv_obj._pcm_wire_batch(n_samp)
+            for j in range(n_utts):
+                w = conv_obj._pcm_wire_pack(wavs[(j + rot) % n_utts])
+                pcm[j, : len(w)] = w
+            args = (
+                jnp.asarray(pcm), jnp.asarray(spk_mat), jnp.asarray(sm),
+                jnp.asarray(ss), jnp.asarray(tm), jnp.asarray(tsd),
+            )
+            jax.block_until_ready(args)
+            return args
+
+        def time_device(conv_obj, n_reps=6, n_sets=3):
+            prog = conv_obj._wav_program(n_frames)
+            sets = [stage(conv_obj, r) for r in range(n_sets)]
+            out = prog(conv_obj.enc_params, conv_obj.dec_params, *sets[0])
+            jax.block_until_ready(out)  # warm
+            outs = []
+            t0 = time.perf_counter()
+            for r in range(n_reps):
+                outs.append(
+                    prog(conv_obj.enc_params, conv_obj.dec_params, *sets[r % n_sets])
+                )
+            jax.block_until_ready(outs)
+            return (time.perf_counter() - t0) / n_reps, prog, sets[0]
+
+        try:
+            dt_dev, prog, args0 = time_device(conv)
+            dev_utt_s = n_utts / dt_dev
+            # XLA's own per-program FLOP count (static shapes, all matmuls)
+            # — which CANNOT see inside the Pallas GL kernel (a Mosaic
+            # custom call), where ~93% of the program's FLOPs live
+            flops_xla = None
+            try:
+                ca = prog.lower(conv.enc_params, conv.dec_params, *args0).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops_xla = float(ca.get("flops", 0.0)) or None
+            except Exception as e:
+                print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+            # analytic FLOPs of the in-kernel Griffin-Lim (docs/performance.md
+            # FLOP model): per iteration, analysis [T,win]x[win,F] + synthesis
+            # [T,F]x[F,win], re+im each -> 8*T*win*F; +1.5 sweeps for the
+            # zero-phase init and the final projection+synthesis. Nominal F
+            # (513), not the kernel's 128-padded lanes: MFU counts useful work.
+            n_freq = acfg.n_fft // 2 + 1
+            gl_in_kernel = conv._gl_method(n_frames) in ("pallas", "pallas_seq")
+            flops_gl = (
+                8.0 * n_frames * acfg.win_length * n_freq * (gl_iters + 1.5) * n_utts
+                if gl_in_kernel
+                else 0.0
+            )
+            flops = (flops_xla + flops_gl) if flops_xla else None
+            peak = 197e12 if platform == "tpu" else None  # v5e bf16 peak
+            mfu = (
+                round(flops / dt_dev / peak, 4) if (flops and peak) else None
+            )
+            device_resident = {
+                "utt_per_sec_device_resident": round(dev_utt_s, 4),
+                "rtf_device_resident": round(
+                    n_utts * (n_samp / sr) / dt_dev, 1
+                ),
+                "program_gflops_xla_counted": round(flops_xla / 1e9, 2) if flops_xla else None,
+                "program_gflops_gl_kernel_analytic": round(flops_gl / 1e9, 2),
+                "program_gflops": round(flops / 1e9, 2) if flops else None,
+                "delivered_tflops": round(flops / dt_dev / 1e12, 2) if flops else None,
+                "mfu": mfu,
+                "peak_flops_assumed": peak,
+            }
+            if exact:
+                dt_dev_ex, _, _ = time_device(conv_exact)
+                device_resident["utt_per_sec_device_resident_exact"] = round(
+                    n_utts / dt_dev_ex, 4
+                )
+                device_resident["exact_device_fraction_of_fast"] = round(
+                    dt_dev / dt_dev_ex, 4
+                )
+        except Exception as e:
+            print(f"device-resident bench failed: {e!r}", file=sys.stderr)
+
+    # ------------------------------------------------------------------
+    # MIXED-LENGTH corpus conversion (VERDICT r2 item 4): a ZR19-like
+    # 1-8 s length spread through the full convert_wav_dir stack (file
+    # IO, bucketing, multiple programs) — what the headline metric is
+    # supposed to capture on a real test set.
+    mixed = {}
+    if not quick:
+        import shutil
+        import tempfile
+
+        from zerospeech_tts_tpu.convert import convert_wav_dir
+        from zerospeech_tts_tpu.dsp.wavio import save_wav
+
+        rng_m = np.random.default_rng(7)
+        bucket = 256
+        mwavs = []
+        for i in range(n_utts):
+            secs = float(rng_m.uniform(1.0, 8.0))
+            n = int(secs * sr)
+            t = np.arange(n) / sr
+            f0 = 120 + 15 * i
+            mwavs.append(
+                (
+                    0.4 * np.sin(2 * np.pi * f0 * t)
+                    + 0.2 * np.sin(2 * np.pi * 2.5 * f0 * t)
+                    + 0.01 * rng_m.standard_normal(n)
+                ).astype(np.float32)
+            )
+        true_frames = [1 + len(w) // acfg.hop_length for w in mwavs]
+        padded = [-(-tf // bucket) * bucket for tf in true_frames]
+        wav_dir = tempfile.mkdtemp(prefix="zstts_bench_wavs_")
+        out_dir = tempfile.mkdtemp(prefix="zstts_bench_out_")
+        try:
+            for i, w in enumerate(mwavs):
+                save_wav(
+                    f"{wav_dir}/utt_{i:03d}.wav",
+                    np.clip(w * 32767, -32768, 32767).astype(np.int16),
+                    sr,
+                )
+            conv_mixed = Converter(
+                hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
+                batch_size=8, bucket_frames=bucket,
+                compute_dtype="bfloat16", pcm_wire="mulaw",
+            )
+            times_m = []
+            n_mixed_passes = 3
+            for p in range(n_mixed_passes + 1):  # pass 0 = compile warmup
+                shutil.rmtree(out_dir, ignore_errors=True)
+                t0 = time.perf_counter()
+                convert_wav_dir(conv_mixed, wav_dir, out_dir, {"V000": 0}, sr=sr)
+                dt_m = time.perf_counter() - t0
+                if p > 0:
+                    times_m.append(dt_m)
+                print(
+                    f"mixed pass {p}: {n_utts / dt_m:.1f} utt/s"
+                    + (" (compile)" if p == 0 else ""),
+                    file=sys.stderr,
+                )
+            dt_m = float(np.median(times_m))
+            mixed = {
+                "corpus_conversion_throughput_mixed": round(n_utts / dt_m, 4),
+                "mixed_audio_seconds": round(sum(len(w) for w in mwavs) / sr, 1),
+                "mixed_rtf": round(sum(len(w) for w in mwavs) / sr / dt_m, 1),
+                "mixed_buckets": sorted(set(padded)),
+                "mixed_padding_overhead": round(sum(padded) / sum(true_frames) - 1, 4),
+                "mixed_desc": "32 utts, 1-8 s uniform, convert_wav_dir incl. file IO, bucket=256, batch=8",
+            }
+        except Exception as e:
+            print(f"mixed-length bench failed: {e!r}", file=sys.stderr)
+        finally:
+            shutil.rmtree(wav_dir, ignore_errors=True)
+            shutil.rmtree(out_dir, ignore_errors=True)
+
     # down-wire sanity: mu-law RE-quantization SNR on the bench's own
     # output audio. NB: the output already crossed the companded wire
     # once, so a second roundtrip is near-idempotent and this reads HIGH
@@ -243,6 +456,9 @@ def main():
                 "config": "fused PCM-in program: mu-law 8-bit PCM wire + on-device f32 frontend + bf16 compute",
                 "units_agreement_vs_f32": round(units_agreement, 4),
                 "mulaw_requantization_snr_db": round(mulaw_requant_snr, 1),
+                **exact,
+                **device_resident,
+                **mixed,
             }
         )
     )
