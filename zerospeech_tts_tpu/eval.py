@@ -88,8 +88,23 @@ def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     ta, tb = a.shape[0], b.shape[0]
-    # frame-distance matrix: mean |bit difference|
-    d = np.abs(a[:, None, :] - b[None, :, :]).mean(axis=2).astype(np.float64)
+    dim = a.shape[1]
+    # frame-distance matrix: mean |bit difference|. For 0/1 unit vectors
+    # (the MBV case) |a-b| summed over bits is the Hamming distance,
+    # which factors into ONE matmul: H(i,j) = |a_i| + |b_j| - 2 a_i.b_j —
+    # this matrix, not the DP, dominated the profile (T*T*D broadcast).
+    if ((a == 0) | (a == 1)).all() and ((b == 0) | (b == 1)).all():
+        d = (
+            a.sum(axis=1)[:, None] + b.sum(axis=1)[None, :] - 2.0 * (a @ b.T)
+        ).astype(np.float64) / dim
+        np.maximum(d, 0.0, out=d)  # float dot rounding must not go negative
+    else:
+        d = np.abs(a[:, None, :] - b[None, :, :]).mean(axis=2).astype(np.float64)
+
+    if (ta + 1) * (tb + 1) <= 1024:
+        # tiny grids (typical phone-snippet ABX items): the scalar DP beats
+        # the per-diagonal numpy call overhead
+        return _dtw_dp_scalar(d, ta, tb)
 
     inf = np.inf
 
@@ -125,6 +140,25 @@ def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
         acc_p2, st_p2, acc_p1, st_p1 = acc_p1, st_p1, acc_k, st_k
     # the last diagonal (k = ta+tb) is the single cell (ta, tb)
     return float(acc_p1[-1] / max(int(st_p1[-1]), 1))
+
+
+def _dtw_dp_scalar(d: np.ndarray, ta: int, tb: int) -> float:
+    """Scalar DP over a precomputed distance matrix (same recurrence and
+    tie-break as the wavefront sweep; used for tiny grids)."""
+    acc = np.full((ta + 1, tb + 1), np.inf)
+    acc[0, 0] = 0.0
+    steps = np.zeros((ta + 1, tb + 1), np.int32)
+    for i in range(1, ta + 1):
+        for j in range(1, tb + 1):
+            best = min(acc[i - 1][j], acc[i][j - 1], acc[i - 1][j - 1])
+            if best == acc[i - 1][j - 1]:
+                steps[i, j] = steps[i - 1, j - 1] + 1
+            elif best == acc[i - 1][j]:
+                steps[i, j] = steps[i - 1, j] + 1
+            else:
+                steps[i, j] = steps[i, j - 1] + 1
+            acc[i][j] = d[i - 1, j - 1] + best
+    return float(acc[ta, tb] / max(int(steps[ta, tb]), 1))
 
 
 def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dict:
