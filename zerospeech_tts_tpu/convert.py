@@ -186,7 +186,7 @@ class Converter:
                 # sharded long bucket: each device lax.maps the kernel over
                 # its LOCAL slice of the utterance batch (batch_size is
                 # rounded up to a multiple of the data axis in __init__)
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 wav = shard_map(
@@ -194,7 +194,7 @@ class Converter:
                     mesh=self.mesh,
                     in_specs=P("data"),
                     out_specs=P("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )(xh)
             elif seq:
                 wav = jax.lax.map(voc, xh)

@@ -325,7 +325,7 @@ class ShardedDeviceDataset:
         return cls(*sharded, hps, mesh)
 
     def sample_batch(self, rng: jax.Array, batch: int | None = None, pairs: bool = True) -> dict:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         h = self.hps
@@ -347,5 +347,5 @@ class ShardedDeviceDataset:
             mesh=self.mesh,
             in_specs=(P(),) + (P("data"),) * 6,
             out_specs=P("data"),
-            check_rep=False,
+            check_vma=False,
         )(rng, self.arena, self.starts, self.lens, self.spk, self.real_w, self.x_w)
