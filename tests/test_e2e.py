@@ -366,3 +366,44 @@ def test_13_convert_from_wavs(pipeline):
     assert len(wavs) == 2
     y = load_wav(wavs[0], 16000)
     assert len(y) > 1000 and np.isfinite(y).all()
+
+
+def test_14_surprise_mesh_e2e(tmp_path_factory):
+    """BASELINE.json config #5: surprise-language end-to-end on a TPU mesh
+    — preprocess -> stage-1 -> stage-2 -> convert, all through the real
+    CLI with --mesh (DP for train1/convert, DP x TP for train2, so the
+    place_state CLI path runs under a model axis too). Tiny geometry on
+    the 8 fake devices; the surprise variant differs from english only in
+    its speaker budget (ref ships per-language hps, SURVEY.md §5)."""
+    root = tmp_path_factory.mktemp("surprise_e2e")
+    hps = dict(TINY_HPS, n_speakers=12)  # surprise: different speaker budget
+    hps_path = root / "hps_surprise.json"
+    hps_path.write_text(json.dumps(hps))
+    corpus = root / "corpus"
+    rng = np.random.default_rng(1)
+    for split, speakers in [("train", ["I01", "I02", "I03", "V001"]), ("test", ["I09"])]:
+        for spk in speakers:
+            for i in range(2):
+                t = np.arange(12000) / 16000
+                f0 = 160 + 45 * (hash(spk) % 4) + 25 * i
+                y = (0.4 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.standard_normal(12000)).astype(np.float32)
+                save_wav(corpus / split / f"{spk}_{i:04d}.wav", y, 16000)
+    ds, idx, ckpt, out = root / "ds.h5", root / "i.json", root / "ck", root / "out"
+    cli_main(["preprocess", "--platform", "cpu", "-hps", str(hps_path), "--corpus", str(corpus),
+              "-dataset_path", str(ds), "-index_path", str(idx), "--n-samples", "100"])
+    cli_main(["train1", "--platform", "cpu", "--mesh", "data=2", "-hps", str(hps_path),
+              "-dataset_path", str(ds), "-index_path", str(idx), "-ckpt_dir", str(ckpt),
+              "--iters-override", "2"])
+    cli_main(["train2", "--platform", "cpu", "--mesh", "data=2,model=2", "-hps", str(hps_path),
+              "-dataset_path", str(ds), "-index_path", str(idx), "-ckpt_dir", str(ckpt),
+              "--iters-override", "2", "--targets", "V001"])
+    cli_main(["convert", "--platform", "cpu", "--mesh", "data=2", "-hps", str(hps_path),
+              "-dataset_path", str(ds), "-ckpt_dir", str(ckpt), "-result_dir", str(out),
+              "--target", "V001", "--gl-iters", "4", "--batch-size", "2"])
+    units = sorted((out / "units").glob("*.txt"))
+    assert len(units) == 2
+    assert set(np.unique(read_units(units[0]))).issubset({0, 1})
+    wavs = sorted((out / "V001").glob("*.wav"))
+    assert len(wavs) == 2
+    y = load_wav(wavs[0], 16000)
+    assert len(y) > 1000 and np.isfinite(y).all()
