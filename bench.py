@@ -160,8 +160,20 @@ def main():
     # primary artifact — bit-identical to the all-f32 pipeline, while the
     # decoder + Griffin-Lim (audio only) keep the bf16 MXU rate and the
     # down-wire stays mu-law. Both configs are recorded every run.
+    # soft wall-clock budget for the optional sections: the HEADLINE metric
+    # must reach the JSON line even on a cold compile cache (batch-32
+    # programs compile ~10 min each cold on this 1-CPU host); each extra
+    # section is also individually fail-soft
+    t_bench_start = time.perf_counter()
+    budget_s = float(__import__("os").environ.get("ZSTTS_BENCH_BUDGET_S", 2700))
+
+    def budget_left() -> bool:
+        return (time.perf_counter() - t_bench_start) < budget_s
+
     exact = {}
-    if not quick:
+    conv_exact = None
+    if not quick and budget_left():
+      try:
         conv_exact = Converter(
             hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
             batch_size=n_utts, compute_dtype="bfloat16",
@@ -195,6 +207,9 @@ def main():
             "units_agreement_exact_vs_f32": round(exact_agree, 4),
             "units_agreement_fast_vs_exact_all": round(fast_vs_exact, 4),
         }
+      except Exception as e:  # keep the headline metric alive
+        print(f"exact-config bench failed: {e!r}", file=sys.stderr)
+        conv_exact = None
 
     # ------------------------------------------------------------------
     # DEVICE-RESIDENT (no-wire) throughput + MFU (VERDICT r2 item 1): the
@@ -203,7 +218,7 @@ def main():
     # a DIFFERENT staged buffer set (the tunnel short-circuits repeated
     # identical calls on identical buffers — recorded environment note).
     device_resident = {}
-    if not quick:
+    if not quick and budget_left():
         import jax.numpy as jnp
 
         hop = acfg.hop_length
@@ -300,7 +315,7 @@ def main():
     # IO, bucketing, multiple programs) — what the headline metric is
     # supposed to capture on a real test set.
     mixed = {}
-    if not quick:
+    if not quick and budget_left():
         import shutil
         import tempfile
 
