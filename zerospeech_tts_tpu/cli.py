@@ -80,8 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("convert", help="corpus conversion + unit extraction (ref --test)")
     _common(p)
-    p.add_argument("-dataset_path", "--dataset_path", required=True)
-    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("-dataset_path", "--dataset_path", default=None)
+    p.add_argument("-ckpt_dir", "--ckpt_dir", default=None)
+    p.add_argument("--from-export", default=None, metavar="DIR",
+                   help="run from a `zstts export` bundle instead of "
+                        "-dataset_path/-ckpt_dir (lean deployment artifact)")
     p.add_argument("-result_dir", "--result_dir", required=True)
     p.add_argument("--target", nargs="*", default=None, help="target speakers (default: V*)")
     p.add_argument("--split", default="test")
@@ -142,8 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
              "(deployment mode; no reference counterpart)",
     )
     _common(p)
-    p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (speaker map/stats)")
-    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("-dataset_path", "--dataset_path", default=None, help="h5 (speaker map/stats)")
+    p.add_argument("-ckpt_dir", "--ckpt_dir", default=None)
+    p.add_argument("--from-export", default=None, metavar="DIR",
+                   help="serve from a `zstts export` bundle (no h5/ckpt needed)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--batch-size", type=int, default=8,
@@ -170,10 +175,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
                    metavar="STEP|DIR", help="checkpoint selection (see convert)")
 
+    p = sub.add_parser(
+        "export",
+        help="write a lean inference bundle (enc+dec params, speaker map, "
+             "stats, hps) for convert/serve --from-export",
+    )
+    _common(p)
+    p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (speaker map/stats)")
+    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("--out", required=True, metavar="DIR", help="bundle output directory")
+    p.add_argument("--feat", default="lin", choices=["lin", "mel"],
+                   help="features the model was trained on (recorded in the bundle)")
+    p.add_argument("--load_model", nargs="?", const="latest", default=None,
+                   metavar="STEP|DIR", help="checkpoint selection (see convert)")
+
     p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
     _common(p)
-    p.add_argument("-dataset_path", "--dataset_path", required=True, help="h5 (for speaker map)")
-    p.add_argument("-ckpt_dir", "--ckpt_dir", required=True)
+    p.add_argument("-dataset_path", "--dataset_path", default=None, help="h5 (for speaker map)")
+    p.add_argument("-ckpt_dir", "--ckpt_dir", default=None)
+    p.add_argument("--from-export", default=None, metavar="DIR",
+                   help="run from a `zstts export` bundle (no h5/ckpt needed)")
     p.add_argument("-result_dir", "--result_dir", required=True)
     p.add_argument("--source", required=True, help="source wav path")
     p.add_argument("--target", required=True, help="target speaker name")
@@ -473,37 +494,57 @@ def cmd_train2(args):
     print(f"stage-2 done at step {int(state.step)}")
 
 
-def _load_converter(args, hps, acfg):
-    import jax
+def _configs_and_bundle(args):
+    """(hps, acfg, bundle): with ``--from-export`` the bundle's recorded
+    configs are authoritative (the model was trained with them); otherwise
+    -hps + -dataset_path/-ckpt_dir as usual."""
+    if getattr(args, "from_export", None):
+        from zerospeech_tts_tpu.export import load_export
 
+        b = load_export(args.from_export)
+        return b.hps, b.acfg, b
+    if not (getattr(args, "dataset_path", None) and getattr(args, "ckpt_dir", None)):
+        sys.exit("pass -dataset_path and -ckpt_dir, or --from-export DIR")
+    hps, acfg = load_configs(args.hps)
+    return hps, acfg, None
+
+
+def _load_converter(args, hps, acfg, bundle=None):
     from zerospeech_tts_tpu.convert import Converter
-    from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
-    solver = Solver(hps)
-    ckpt = CheckpointManager(  # conversion only LOADS: never mutate the dir
-        args.ckpt_dir, hps=hps, read_only=True,
-        allow_migration=getattr(args, "allow_schema_migration", False),
-    )
-    src_mgr, src_step = _restore_source(args, hps, ckpt)
-    state = _restore(solver, src_mgr, step=src_step)
-    if src_mgr is not ckpt:
-        src_mgr.close()
-    ckpt.close()
-    stats = None
-    if hps.speaker_norm:
-        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+    if bundle is not None:
+        enc_p, dec_p, stats = bundle.enc, bundle.dec, bundle.stats
+        feat = bundle.feat  # recorded at export time; --feat is ignored
+    else:
+        from zerospeech_tts_tpu.train import CheckpointManager, Solver
 
-        stats = SpeakerStats.load(args.dataset_path, getattr(args, "feat", "lin"))
+        solver = Solver(hps)
+        ckpt = CheckpointManager(  # conversion only LOADS: never mutate the dir
+            args.ckpt_dir, hps=hps, read_only=True,
+            allow_migration=getattr(args, "allow_schema_migration", False),
+        )
+        src_mgr, src_step = _restore_source(args, hps, ckpt)
+        state = _restore(solver, src_mgr, step=src_step)
+        if src_mgr is not ckpt:
+            src_mgr.close()
+        ckpt.close()
+        enc_p, dec_p = state.enc, state.dec
+        feat = getattr(args, "feat", "lin")
+        stats = None
+        if hps.speaker_norm:
+            from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+            stats = SpeakerStats.load(args.dataset_path, feat)
     return Converter(
         hps,
         acfg,
-        state.enc,
-        state.dec,
+        enc_p,
+        dec_p,
         gl_iters=getattr(args, "gl_iters", None),
         batch_size=getattr(args, "batch_size", 8),
         stats=stats,
         mesh=_mesh_from_arg(args.mesh),
-        feat=getattr(args, "feat", "lin"),
+        feat=feat,
         compute_dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
         encoder_dtype="float32" if getattr(args, "enc_f32", False) else None,
         wire="uint8" if getattr(args, "wire_uint8", False) else "bf16",
@@ -526,15 +567,23 @@ def cmd_convert(args):
     _setup_platform(args)
     from zerospeech_tts_tpu.convert import convert_corpus
 
-    hps, acfg = load_configs(args.hps)
-    speakers = _speaker_map(args.dataset_path, hps)
+    hps, acfg, bundle = _configs_and_bundle(args)
+    if bundle is not None:
+        speakers = dict(bundle.speakers)
+        if not (args.from_wavs or args.dataset_path):
+            sys.exit(
+                "--from-export has no h5 features: pass --from-wavs DIR "
+                "(on-device frontend) or also give -dataset_path"
+            )
+    else:
+        speakers = _speaker_map(args.dataset_path, hps)
     targets = args.target or sorted(s for s in speakers if s.startswith("V"))
     if not targets:
         sys.exit("no target speakers given and none named V* in the corpus")
     missing = [t for t in targets if t not in speakers]
     if missing:
         sys.exit(f"target speakers {missing} not in corpus speaker map")
-    conv = _load_converter(args, hps, acfg)
+    conv = _load_converter(args, hps, acfg, bundle)
     t0 = time.time()
     with _MaybeProfile(args):
         if args.from_wavs:
@@ -613,11 +662,11 @@ def cmd_convert_single(args):
     _setup_platform(args)
     from zerospeech_tts_tpu.convert import convert_single
 
-    hps, acfg = load_configs(args.hps)
-    speakers = _speaker_map(args.dataset_path, hps)
+    hps, acfg, bundle = _configs_and_bundle(args)
+    speakers = dict(bundle.speakers) if bundle is not None else _speaker_map(args.dataset_path, hps)
     if args.target not in speakers:
         sys.exit(f"target {args.target!r} not in corpus speaker map {sorted(speakers)[:10]}...")
-    conv = _load_converter(args, hps, acfg)
+    conv = _load_converter(args, hps, acfg, bundle)
     out = convert_single(
         conv, args.source, args.target, speakers[args.target], args.result_dir, sr=acfg.sr
     )
@@ -628,9 +677,9 @@ def cmd_serve(args):
     _setup_platform(args)
     from zerospeech_tts_tpu.serve import ConversionService, serve_http
 
-    hps, acfg = load_configs(args.hps)
-    speakers = _speaker_map(args.dataset_path, hps)
-    conv = _load_converter(args, hps, acfg)
+    hps, acfg, bundle = _configs_and_bundle(args)
+    speakers = dict(bundle.speakers) if bundle is not None else _speaker_map(args.dataset_path, hps)
+    conv = _load_converter(args, hps, acfg, bundle)
     service = ConversionService(
         conv, speakers, window_ms=args.batch_window_ms, max_batch=args.batch_size,
         request_timeout=args.request_timeout,
@@ -654,6 +703,35 @@ def cmd_serve(args):
         service.close()
 
 
+def cmd_export(args):
+    _setup_platform(args)
+    from zerospeech_tts_tpu.export import export_model
+    from zerospeech_tts_tpu.train import CheckpointManager, Solver
+
+    hps, acfg = load_configs(args.hps)
+    speakers = _speaker_map(args.dataset_path, hps)
+    solver = Solver(hps)
+    ckpt = CheckpointManager(  # export only LOADS: never mutate the dir
+        args.ckpt_dir, hps=hps, read_only=True,
+        allow_migration=getattr(args, "allow_schema_migration", False),
+    )
+    src_mgr, src_step = _restore_source(args, hps, ckpt)
+    state = _restore(solver, src_mgr, step=src_step)
+    if src_mgr is not ckpt:
+        src_mgr.close()
+    ckpt.close()
+    stats = None
+    if hps.speaker_norm:
+        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+        stats = SpeakerStats.load(args.dataset_path, args.feat)
+    out = export_model(
+        args.out, hps, acfg, state.enc, state.dec, speakers,
+        stats=stats, feat=args.feat, step=int(state.step),
+    )
+    print(json.dumps(out))
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     {
@@ -664,6 +742,7 @@ def main(argv=None) -> None:
         "convert-single": cmd_convert_single,
         "eval": cmd_eval,
         "serve": cmd_serve,
+        "export": cmd_export,
     }[args.cmd](args)
 
 
