@@ -33,10 +33,13 @@ Design:
   {target: base64 PCM16 WAV}}; /units returns just the units.
 
 Start it with ``zstts serve -dataset_path ds.h5 -ckpt_dir ckpt --port
-8571`` (plus the usual ``--bf16 --wire-mulaw --gl-iters`` deployment
-knobs). The default request timeout is generous (15 min) because the
-FIRST request of each new utterance-length bucket pays that bucket's
-XLA compile; ``--request-timeout`` tunes it.
+8571`` — or ``zstts serve --from-export bundle/`` on a deployment host
+that has only a ``zstts export`` bundle — plus the usual ``--bf16
+--enc-f32 --wire-mulaw --gl-iters`` deployment knobs and the
+``--max-body-mb / --max-frames`` admission caps. The default request
+timeout is generous (15 min) because the FIRST request of each new
+utterance-length bucket pays that bucket's XLA compile;
+``--request-timeout`` tunes it.
 """
 
 from __future__ import annotations
