@@ -207,6 +207,92 @@ def vocoder_parity(ref: Path, report: dict) -> bool:
     return abs(c_ref - c_ours) <= 0.05
 
 
+def units_e2e(ref: Path, report: dict) -> bool:
+    """End-to-end discrete-unit diff (VERDICT r2 item 8): run the SAME
+    wavs through the reference's feature+encoder+binarize stack and
+    through ours. Bit-identical units require the reference's trained
+    weights on both sides, so this section:
+
+    1. finds a torch checkpoint in the reference tree and the reference
+       model module;
+    2. runs the reference stack and records its unit streams to
+       ``docs/ref_units_sample.json`` (the offline comparison artifact);
+    3. if a weight-port module exists (``tools/port_ref_weights.py``,
+       written against the REAL layer names once the tree is readable —
+       guessing a state_dict mapping blind would be untestable), ports
+       the weights into our Encoder, runs our stack on the same wavs,
+       and gates on exact unit equality.
+    """
+    ckpts = [
+        p for p in ref.rglob("*")
+        if p.is_file() and p.suffix in (".pt", ".pth", ".ckpt", ".pkl")
+    ]
+    if not ckpts:
+        report["units_e2e"] = {"skipped": "no torch checkpoint in reference tree"}
+        return True
+    name, path, mod = import_ref_module(ref, ("model",))
+    if mod is None or isinstance(mod, Exception):
+        report["units_e2e"] = {"skipped": f"reference model module unusable: {mod}"}
+        return True
+    fe_name, fe_path, fe_mod = import_ref_module(ref, ("preprocess", "utils"))
+    get_spec = getattr(fe_mod, "get_spectrograms", None) if fe_mod and not isinstance(fe_mod, Exception) else None
+    if get_spec is None or not hasattr(mod, "Encoder"):
+        report["units_e2e"] = {"skipped": "reference Encoder/get_spectrograms not found"}
+        return True
+    try:
+        import torch
+
+        state = torch.load(ckpts[0], map_location="cpu")
+        enc_sd = state.get("encoder", state) if isinstance(state, dict) else state
+        ref_units = []
+        enc = mod.Encoder()
+        enc.load_state_dict(enc_sd if hasattr(enc_sd, "keys") else enc_sd.state_dict())
+        enc.eval()
+        with torch.no_grad():
+            for y in make_test_wavs(n=2):
+                mel, lin = get_spec(y)[:2]
+                x = torch.as_tensor(np.asarray(lin), dtype=torch.float32)[None]
+                out = enc(x)
+                z = out[0] if isinstance(out, tuple) else out
+                ref_units.append((np.asarray(z) > 0.5).astype(int).tolist())
+        (REPO / "docs" / "ref_units_sample.json").write_text(
+            json.dumps({"ckpt": str(ckpts[0]), "units": ref_units}) + "\n"
+        )
+    except Exception as e:
+        report["units_e2e"] = {"skipped": f"reference encode failed: {e!r}", "ckpt": str(ckpts[0])}
+        return True
+
+    port_path = REPO / "tools" / "port_ref_weights.py"
+    if not port_path.exists():
+        report["units_e2e"] = {
+            "recorded": "docs/ref_units_sample.json",
+            "pending": "write tools/port_ref_weights.py against the real "
+                       "state_dict names, then re-run for the exact-equality gate",
+        }
+        return True
+    spec = importlib.util.spec_from_file_location("port_ref_weights", port_path)
+    port = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(port)
+    ours = port.port_encoder(ckpts[0])  # -> flax params
+    from zerospeech_tts_tpu.config import AudioConfig, Hps
+    from zerospeech_tts_tpu.dsp import audio as A
+    from zerospeech_tts_tpu.models import Encoder, hard_units
+
+    hps, acfg = Hps(), AudioConfig()
+    ok = True
+    diffs = []
+    for i, y in enumerate(make_test_wavs(n=2)):
+        _, lin = A.get_spectrograms(y, acfg)
+        u = np.asarray(hard_units(Encoder(hps).apply(ours, np.asarray(lin)[None])))[0]
+        r = np.asarray(json.loads((REPO / "docs" / "ref_units_sample.json").read_text())["units"][i])
+        tmin = min(len(u), r.shape[1] if r.ndim == 3 else len(r))
+        agree = float((u[:tmin] == r.reshape(-1, r.shape[-1])[:tmin]).mean())
+        diffs.append(agree)
+        ok = ok and agree == 1.0
+    report["units_e2e"] = {"agreement": diffs, "gate": "exact (1.0)"}
+    return ok
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--reference", default="/root/reference")
@@ -228,6 +314,7 @@ def main(argv=None) -> int:
     diff_hps(ref, report)
     ok = dsp_parity(ref, report)
     ok = vocoder_parity(ref, report) and ok
+    ok = units_e2e(ref, report) and ok
     report["ok"] = ok
 
     out = Path(args.out)
