@@ -253,3 +253,16 @@ def test_http_rejects_oversized_body(service):
         service.max_body_bytes = 64 << 20
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_warmup_precompiles_buckets(service):
+    """warmup() runs the full-conversion and units-only programs for each
+    requested bucket so the first client request hits a warm program."""
+    d0 = service.dispatches
+    dt = service.warmup([48, 64], n_targets=1)
+    assert dt >= 0.0
+    # warmup used the converter directly (no service dispatches consumed)
+    assert service.dispatches == d0
+    # the programs are cached for those buckets now
+    conv = service.converter
+    assert any(k[0] == 64 if isinstance(k, tuple) else k == 64 for k in conv._wav_progs)

@@ -166,6 +166,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reject utterances longer than this many frames "
                         "(each new length bucket costs an XLA compile; "
                         "0 = unlimited)")
+    p.add_argument("--warmup-buckets", default=None, metavar="FRAMES,FRAMES",
+                   help="precompile these utterance-length buckets before "
+                        "accepting clients (e.g. 256,512,1024) so the first "
+                        "request of each doesn't pay the XLA compile")
+    p.add_argument("--warmup-targets", type=int, default=1,
+                   help="target-set size to warm (program shape depends on "
+                        "the COUNT of targets)")
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--enc-f32", action="store_true",
@@ -685,6 +692,10 @@ def cmd_serve(args):
         request_timeout=args.request_timeout,
         max_body_bytes=args.max_body_mb << 20, max_frames=args.max_frames,
     )
+    if args.warmup_buckets:
+        buckets = [int(x) for x in args.warmup_buckets.split(",") if x.strip()]
+        dt = service.warmup(buckets, n_targets=args.warmup_targets)
+        print(f"warmed {len(buckets)} bucket programs in {dt:.1f}s", flush=True)
     httpd = serve_http(service, host=args.host, port=args.port)
     host, port = httpd.server_address[:2]
     print(

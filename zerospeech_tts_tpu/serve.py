@@ -179,6 +179,31 @@ class ConversionService:
             self._cv.notify_all()
         self._worker.join(timeout=10)
 
+    def warmup(self, bucket_frames: list[int], n_targets: int = 1) -> float:
+        """Precompile the conversion programs for the given utterance-length
+        buckets BEFORE the first client arrives: one dummy batch through the
+        n_targets-wide program and the units-only program per bucket. Other
+        target-set sizes still compile on first use (program shape depends
+        on the COUNT of targets, not which ones). Returns seconds spent."""
+        import time as _time
+
+        conv = self.converter
+        hop = conv.acfg.hop_length
+        tgt_ids = sorted(self.speakers.values())[: max(1, n_targets)]
+        tgt_names = sorted(self.speakers)[: max(1, n_targets)]
+        t0 = _time.monotonic()
+        for tb in bucket_frames:
+            tb = -(-int(tb) // conv.bucket_frames) * conv.bucket_frames
+            wav = np.zeros(tb * hop - 1, np.float32)
+            wav[:: hop] = 0.1  # clicks: survives any future silence handling
+            conv.convert_wavs_multi(
+                [wav], tgt_ids,
+                tgt_names=tgt_names if conv.stats is not None else None,
+                trim=False,
+            )
+            conv.encode_units_from_wavs([wav], trim=False)
+        return _time.monotonic() - t0
+
     # ------------------------------------------------------------- worker
 
     def _oldest_key(self):
