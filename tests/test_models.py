@@ -132,3 +132,30 @@ def test_patch_discriminator(tiny_hps):
     # differentiable wrt input (needed for WGAN-GP)
     g = jax.grad(lambda xx: dis.apply(dp, xx)[0].mean())(x)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_converter_respects_enc_mode(tiny_hps):
+    """Conversion follows hps.enc_mode (ref enc-mode switch): one_hot dumps
+    argmax one-hot rows and decodes from them; continues decodes from the
+    RAW logits while the dump is their binary reading; binary unchanged."""
+    import numpy as np
+
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.train import Solver
+
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=1)
+    wav = (0.5 * np.sin(2 * np.pi * 220 * np.arange(4000) / 16000)).astype(np.float32)
+    for mode in ("binary", "one_hot", "continues"):
+        h = tiny_hps.replace(n_feat=129, enc_mode=mode)
+        sol = Solver(h)
+        state = sol.init_state(jax.random.PRNGKey(0))
+        conv = Converter(h, acfg, state.enc, state.dec, batch_size=1, bucket_frames=32)
+        units, wavs = conv.convert_wavs_multi([wav], [0], trim=False)
+        u = units[0]
+        assert set(np.unique(u)).issubset({0, 1}), mode
+        if mode == "one_hot":
+            assert (u.sum(axis=1) == 1).all()  # exactly one bit per frame
+        assert np.isfinite(wavs[0][0].astype(np.float32)).all(), mode
+        eu = conv.encode_units_from_wavs([wav], trim=False)[0]
+        np.testing.assert_array_equal(u, eu)  # units-only path agrees

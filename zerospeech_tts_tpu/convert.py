@@ -32,7 +32,7 @@ from zerospeech_tts_tpu.dsp.mulaw import (
     mulaw_expand_host,
 )
 from zerospeech_tts_tpu.dsp.wavio import load_wav, save_wav, trim_silence
-from zerospeech_tts_tpu.models import Decoder, Encoder, hard_units
+from zerospeech_tts_tpu.models import Decoder, Encoder, discretize, unit_bits
 
 
 def units_text(units: np.ndarray) -> str:
@@ -181,8 +181,17 @@ class Converter:
                 lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
             )
         logits = self.encoder.apply(enc_params, x.astype(ed)).astype(jnp.float32)
-        units = hard_units(logits)
-        z = units.astype(cd)
+        # mode-aware (ref enc_mode switch): the dumped 0/1 rows AND the
+        # decode latent follow hps.enc_mode — for the default "binary"
+        # both equal the thresholded MBV bits (bit-identical to before);
+        # one_hot decodes from the argmax one-hot row, "continues" decodes
+        # from the raw logits while the dump is their binary reading
+        units = unit_bits(logits, self.hps.enc_mode)
+        z = (
+            discretize(logits, self.hps.enc_mode, self.hps.gumbel_temp, None).astype(cd)
+            if self.hps.enc_mode == "continues"
+            else units.astype(cd)
+        )
 
         vocoder = (
             dsp_audio.spectrogram2wav if self.feat == "lin" else dsp_audio.melspectrogram2wav
@@ -348,7 +357,9 @@ class Converter:
                     x.astype(jnp.float32) * wire_scale[:, None, None]
                     + wire_lo[:, None, None]
                 )
-            units = hard_units(self.encoder.apply(enc_params, x.astype(jnp.float32)))
+            units = unit_bits(
+                self.encoder.apply(enc_params, x.astype(jnp.float32)), self.hps.enc_mode
+            )
             return jnp.packbits(units.astype(jnp.uint8), axis=-1)
 
         prog = jax.jit(run)
@@ -371,7 +382,7 @@ class Converter:
             )(y)
             x = mag if self.feat == "lin" else mel
             x = (x - src_mean[:, None, :]) / src_std[:, None, :]
-            units = hard_units(self.encoder.apply(enc_params, x))
+            units = unit_bits(self.encoder.apply(enc_params, x), self.hps.enc_mode)
             return jnp.packbits(units.astype(jnp.uint8), axis=-1)
 
         prog = jax.jit(run)

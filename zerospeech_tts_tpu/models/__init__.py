@@ -12,6 +12,7 @@ from zerospeech_tts_tpu.models.mbv import (  # noqa: F401
     discretize,
     gumbel_softmax,
     hard_units,
+    unit_bits,
     straight_through,
 )
 from zerospeech_tts_tpu.models.encoder import Encoder  # noqa: F401

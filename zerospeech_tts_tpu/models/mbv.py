@@ -81,3 +81,19 @@ def discretize(
 def hard_units(logits: jnp.ndarray) -> jnp.ndarray:
     """Deterministic binary units as int32 (challenge unit-file payload)."""
     return (logits[..., 0] > logits[..., 1]).astype(jnp.int32)
+
+
+def unit_bits(logits: jnp.ndarray, mode: str = "binary") -> jnp.ndarray:
+    """Mode-aware deterministic 0/1 unit rows for the challenge dump.
+
+    binary:   per-dim threshold (MBV — the flagship artifact).
+    one_hot:  argmax one-hot row (exactly one bit set per frame).
+    continues: no discrete latent exists in this mode; the dump is the
+              sign of the raw logit (on > off), which is the binary
+              reading of the same head — decode still uses the raw
+              logits (see discretize), only the text artifact needs bits.
+    """
+    if mode == "one_hot":
+        on = logits[..., 0]
+        return jax.nn.one_hot(jnp.argmax(on, axis=-1), on.shape[-1], dtype=jnp.int32)
+    return hard_units(logits)  # binary + continues: threshold the head
