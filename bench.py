@@ -414,6 +414,7 @@ def main():
     # secondary metric: flagship-size training throughput via the
     # device-resident multi-step path (skipped in --quick to bound runtime)
     train_sps = None
+    train_extra: dict = {}
     if not quick:
         import os
         import sys as _sys
@@ -444,7 +445,13 @@ def main():
             t0 = time.perf_counter()
             st, m = sol.train_many(st, ds, "train", 25)
             _ = float(m["loss_rec"])
-            train_sps = round(25 / (time.perf_counter() - t0), 1)
+            dt_train = time.perf_counter() - t0
+            train_sps = round(25 / dt_train, 1)
+            # NB: no train-side cost_analysis here — re-lowering the donated
+            # 25-step scan program for FLOP counting hung indefinitely on
+            # this stack (>20 min, not an exception), and a hang inside the
+            # driver's bench run is unrecoverable. Conversion MFU (above)
+            # is the recorded compute-efficiency metric.
         except Exception as e:  # keep the headline metric alive, but say why
             print(f"train-throughput bench failed: {e!r}", file=_sys.stderr)
             train_sps = None
@@ -474,6 +481,7 @@ def main():
                 **exact,
                 **device_resident,
                 **mixed,
+                **train_extra,
             }
         )
     )
