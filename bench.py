@@ -414,7 +414,6 @@ def main():
     # secondary metric: flagship-size training throughput via the
     # device-resident multi-step path (skipped in --quick to bound runtime)
     train_sps = None
-    train_extra: dict = {}
     if not quick:
         import os
         import sys as _sys
@@ -481,7 +480,6 @@ def main():
                 **exact,
                 **device_resident,
                 **mixed,
-                **train_extra,
             }
         )
     )
