@@ -446,17 +446,51 @@ def main():
             _ = float(m["loss_rec"])
             dt_train = time.perf_counter() - t0
             train_sps = round(25 / dt_train, 1)
-            # NB: no train-side cost_analysis here — re-lowering the donated
-            # 25-step scan program for FLOP counting hung indefinitely on
-            # this stack (>20 min, not an exception), and a hang inside the
-            # driver's bench run is unrecoverable. Conversion MFU (above)
-            # is the recorded compute-efficiency metric.
         except Exception as e:  # keep the headline metric alive, but say why
             print(f"train-throughput bench failed: {e!r}", file=_sys.stderr)
             train_sps = None
         finally:
             if h5p and os.path.exists(h5p):
                 os.unlink(h5p)
+
+    # train-side compute accounting. Counting FLOPs in-process hung once on
+    # this stack (re-lowering the donated 25-step scan never returned, not
+    # an exception), so the count runs in a KILLABLE child on the CPU
+    # backend (HLO flop counts are arithmetic, backend-independent) — see
+    # tools/train_flops.py. Training runs f32, so mfu vs the bf16 peak is
+    # a conservative lower bound on utilization.
+    train_mfu = {}
+    if train_sps and budget_left():
+        import os
+        import subprocess
+
+        cache_p = "/tmp/zstts_train_flops.json"
+        key = f"b{hps.batch_size}_s{hps.seg_len}_f{hps.n_feat}_jax{jax.__version__}"
+        try:
+            fl = None
+            try:
+                with open(cache_p) as f:
+                    fl = json.load(f).get(key)
+            except OSError:
+                pass
+            if fl is None:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "train_flops.py")],
+                    capture_output=True, text=True, timeout=300,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                )
+                fl = json.loads(out.stdout.strip().splitlines()[-1])["flops_per_step"]
+                with open(cache_p, "w") as f:
+                    json.dump({key: fl}, f)
+            train_mfu = {
+                "train_gflops_per_step_xla_counted": round(fl / 1e9, 2),
+                "train_delivered_tflops": round(fl * train_sps / 1e12, 2),
+            }
+            if platform == "tpu":
+                train_mfu["train_mfu_vs_bf16_peak"] = round(fl * train_sps / 197e12, 4)
+        except Exception as e:
+            print(f"train flop count unavailable: {e!r}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -469,6 +503,7 @@ def main():
                 "baseline_desc": "reference CPU numpy Griffin-Lim path (vocoder only, lower bound on ref cost)",
                 "rtf": round(rtf, 2),
                 "train_steps_per_sec": train_sps,
+                **train_mfu,
                 "platform": platform,
                 "n_utts": n_utts,
                 "gl_iters": gl_iters,
