@@ -29,6 +29,10 @@ import sys
 def main() -> None:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
+
+    # the axon TPU plugin ignores the env var; only the config call
+    # reliably forces the CPU backend (recorded environment note)
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from zerospeech_tts_tpu.config import Hps
