@@ -467,12 +467,13 @@ def main():
         cache_p = "/tmp/zstts_train_flops.json"
         key = f"b{hps.batch_size}_s{hps.seg_len}_f{hps.n_feat}_jax{jax.__version__}"
         try:
-            fl = None
+            cache = {}
             try:
                 with open(cache_p) as f:
-                    fl = json.load(f).get(key)
-            except OSError:
+                    cache = json.load(f)
+            except (OSError, ValueError):
                 pass
+            fl = cache.get(key)
             if fl is None:
                 out = subprocess.run(
                     [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "train_flops.py")],
@@ -481,8 +482,9 @@ def main():
                     env={**os.environ, "JAX_PLATFORMS": "cpu"},
                 )
                 fl = json.loads(out.stdout.strip().splitlines()[-1])["flops_per_step"]
+                cache[key] = fl  # merge: other geometries/jax versions stay cached
                 with open(cache_p, "w") as f:
-                    json.dump({key: fl}, f)
+                    json.dump(cache, f)
             train_mfu = {
                 "train_gflops_per_step_xla_counted": round(fl / 1e9, 2),
                 "train_delivered_tflops": round(fl * train_sps / 1e12, 2),

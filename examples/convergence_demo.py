@@ -196,12 +196,13 @@ def main():
     # W-distance trend, convert after (VERDICT r2 item 5: exists != shown)
     _, _, pre = convert_and_measure(state)
     report["stage2_pre"] = pre
-    gan_iters = args.iters // 6
     n_chunks = 4
+    iters_per_chunk = max(1, (args.iters // 6) // n_chunks)
+    gan_iters = n_chunks * iters_per_chunk  # what the loop ACTUALLY runs
     trend = []
     t0 = time.time()
     for ci in range(n_chunks):
-        state, m = sol.train_many(state, ds, "patchGAN", max(1, gan_iters // n_chunks))
+        state, m = sol.train_many(state, ds, "patchGAN", iters_per_chunk)
         trend.append(round(float(m["w_dist"]), 4))
     dt = time.time() - t0
     gan_steps = gan_iters * (hps.n_critic + 1)

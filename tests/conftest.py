@@ -21,6 +21,20 @@ import pytest  # noqa: E402
 from zerospeech_tts_tpu.config import AudioConfig, Hps  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_state():
+    """Drop compiled executables between modules.
+
+    The full suite compiles several hundred XLA CPU programs in one
+    process; past ~145 tests the next compile segfaults inside LLVM
+    (reproduced twice at the same test, passes in isolation — cumulative
+    compiler state, not a code bug). Releasing the jit caches after each
+    module keeps the live-executable count bounded; cross-module program
+    reuse is rare so the recompile cost is small."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def audio_cfg() -> AudioConfig:
     return AudioConfig()

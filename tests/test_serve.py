@@ -160,6 +160,32 @@ def test_plan_key_canonicalization(service):
         service.plan_key(("V001", "NOSUCH"))
 
 
+def test_solo_batch_failure_is_not_redispatched():
+    """A failing SINGLE-request batch is its own solo retry: the owner gets
+    the original error and the program is NOT dispatched a second time."""
+    from zerospeech_tts_tpu.serve import ConversionService
+
+    class _Acfg:
+        top_db, hop_length = 15.0, 64
+
+    calls = []
+
+    class _StubConverter:
+        batch_size, stats, acfg = 4, None, _Acfg()
+
+        def encode_units_from_wavs(self, wavs, trim=False):
+            calls.append(len(wavs))
+            raise ValueError("bad input")
+
+    svc = ConversionService(_StubConverter(), {"V001": 0}, window_ms=5.0)
+    try:
+        with pytest.raises(ValueError, match="bad input"):
+            svc.convert(np.ones(2048, np.float32), (), trim=False, timeout=30)
+        assert calls == [1]  # exactly one dispatch, no pointless retry
+    finally:
+        svc.close()
+
+
 def test_batch_failure_retries_individually():
     """A batch dispatch failure falls back to per-request runs: the good
     request succeeds, only the bad one's owner sees the error."""

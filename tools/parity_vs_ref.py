@@ -270,27 +270,34 @@ def units_e2e(ref: Path, report: dict) -> bool:
                        "state_dict names, then re-run for the exact-equality gate",
         }
         return True
-    spec = importlib.util.spec_from_file_location("port_ref_weights", port_path)
-    port = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(port)
-    ours = port.port_encoder(ckpts[0])  # -> flax params
-    from zerospeech_tts_tpu.config import AudioConfig, Hps
-    from zerospeech_tts_tpu.dsp import audio as A
-    from zerospeech_tts_tpu.models import Encoder, hard_units
+    try:
+        # a broken port module must record a failure, not crash the harness
+        # before the JSON report is written (every other section degrades
+        # to a recorded skip the same way)
+        spec = importlib.util.spec_from_file_location("port_ref_weights", port_path)
+        port = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(port)
+        ours = port.port_encoder(ckpts[0])  # -> flax params
+        from zerospeech_tts_tpu.config import AudioConfig, Hps
+        from zerospeech_tts_tpu.dsp import audio as A
+        from zerospeech_tts_tpu.models import Encoder, hard_units
 
-    hps, acfg = Hps(), AudioConfig()
-    ok = True
-    diffs = []
-    for i, y in enumerate(make_test_wavs(n=2)):
-        _, lin = A.get_spectrograms(y, acfg)
-        u = np.asarray(hard_units(Encoder(hps).apply(ours, np.asarray(lin)[None])))[0]
-        r = np.asarray(json.loads((REPO / "docs" / "ref_units_sample.json").read_text())["units"][i])
-        tmin = min(len(u), r.shape[1] if r.ndim == 3 else len(r))
-        agree = float((u[:tmin] == r.reshape(-1, r.shape[-1])[:tmin]).mean())
-        diffs.append(agree)
-        ok = ok and agree == 1.0
-    report["units_e2e"] = {"agreement": diffs, "gate": "exact (1.0)"}
-    return ok
+        hps, acfg = Hps(), AudioConfig()
+        ok = True
+        diffs = []
+        for i, y in enumerate(make_test_wavs(n=2)):
+            _, lin = A.get_spectrograms(y, acfg)
+            u = np.asarray(hard_units(Encoder(hps).apply(ours, np.asarray(lin)[None])))[0]
+            r = np.asarray(json.loads((REPO / "docs" / "ref_units_sample.json").read_text())["units"][i])
+            tmin = min(len(u), r.shape[1] if r.ndim == 3 else len(r))
+            agree = float((u[:tmin] == r.reshape(-1, r.shape[-1])[:tmin]).mean())
+            diffs.append(agree)
+            ok = ok and agree == 1.0
+        report["units_e2e"] = {"agreement": diffs, "gate": "exact (1.0)"}
+        return ok
+    except Exception as e:
+        report["units_e2e"] = {"failed": f"weight port raised: {e!r}", "port": str(port_path)}
+        return False
 
 
 def main(argv=None) -> int:

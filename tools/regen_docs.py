@@ -51,8 +51,8 @@ def convergence_block() -> str:
              "critic's real-vs-fake estimate over the patchGAN phase"),
             ("stage-2 target-envelope distance",
              f"{pre['target_envelope_dist']:.2f} → {post['target_envelope_dist']:.2f}",
-             "negative delta = GAN pulls outputs toward the target voice"
-             if rep["stage2_envelope_dist_delta"] > 0
+             "distance dropped — GAN pulls outputs toward the target voice"
+             if rep["stage2_envelope_dist_delta"] > 0  # delta = pre - post
              else "patchGAN did not reduce envelope distance at demo scale"),
             ("stage-2 spectral sharpness",
              f"{pre['spectral_sharpness']:.4f} → {post['spectral_sharpness']:.4f}",

@@ -269,7 +269,7 @@ def unit_stability(
     import jax
     import jax.numpy as jnp
 
-    from zerospeech_tts_tpu.models import hard_units
+    from zerospeech_tts_tpu.models import unit_bits
 
     stats = None
     if hps.speaker_norm:
@@ -297,7 +297,9 @@ def unit_stability(
 
     @jax.jit
     def units_of(enc_params, x):
-        return hard_units(solver.encoder.apply(enc_params, x[None]))[0]
+        # mode-aware: the stability metric must read the SAME unit stream
+        # the converter dumps (unit_bits == hard_units for enc_mode=binary)
+        return unit_bits(solver.encoder.apply(enc_params, x[None]), hps.enc_mode)[0]
 
     def encode(arr):  # pad to a 256-frame bucket: few compiles, not one per length
         t = arr.shape[0]

@@ -189,8 +189,10 @@ class ConversionService:
 
         conv = self.converter
         hop = conv.acfg.hop_length
-        tgt_ids = sorted(self.speakers.values())[: max(1, n_targets)]
-        tgt_names = sorted(self.speakers)[: max(1, n_targets)]
+        # one sorted(items) slice: ids and names must denote the SAME speakers
+        pairs = sorted(self.speakers.items())[: max(1, n_targets)]
+        tgt_names = [n for n, _ in pairs]
+        tgt_ids = [i for _, i in pairs]
         t0 = _time.monotonic()
         for tb in bucket_frames:
             tb = -(-int(tb) // conv.bucket_frames) * conv.bucket_frames
@@ -248,9 +250,12 @@ class ConversionService:
                 def _input_shaped(e: BaseException) -> bool:
                     return isinstance(e, (ValueError, KeyError))
 
+                if len(batch) == 1:
+                    # a solo batch IS its own solo retry: re-dispatching the
+                    # identical program cannot change the outcome
+                    batch[0].future.set_exception(batch_err)
+                    continue
                 systemic: BaseException | None = None
-                if len(batch) == 1 and not _input_shaped(batch_err):
-                    systemic = batch_err
                 solo_failures = 0
                 for r in batch:
                     if r.future.done():
