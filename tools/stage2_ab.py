@@ -1,0 +1,181 @@
+"""Stage-2 patchGAN value probe: A/B several GAN configs from ONE shared
+stage-1 state and measure what stage 2 actually buys (ref stage-2 purpose =
+sharper, more target-like output; VERDICT r2 item 5 "exists != demonstrated").
+
+Reuses the convergence demo's corpus + probes so numbers are comparable:
+for each config it reports target-envelope distance (lower = more
+target-voiced), envelope accuracy, and spectral sharpness (higher = less
+decoder blur) before/after the GAN phase, plus the critic's W-distance
+trend. Prints one JSON report; use it to pick the demo's stage-2 recipe.
+
+Usage:
+    python tools/stage2_ab.py                 # TPU, demo-scale stage 1
+    python tools/stage2_ab.py --cpu --iters 60   # quick CPU smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--iters", type=int, default=600, help="stage-1 iters per phase")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zstts_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import sys
+
+    sys.path.insert(0, str(REPO / "examples"))
+    from convergence_demo import make_corpus, spectral_envelope  # noqa: E402
+
+    from zerospeech_tts_tpu.config import AudioConfig, Hps
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.data import build_corpus
+    from zerospeech_tts_tpu.data.device_dataset import DeviceDataset
+    from zerospeech_tts_tpu.dsp import audio as dsp_audio
+    from zerospeech_tts_tpu.train import Solver
+
+    t_start = time.time()
+    work = Path(args.out or tempfile.mkdtemp(prefix="zs_s2ab_"))
+    corpus = work / "corpus"
+    make_corpus(corpus)
+    acfg = AudioConfig(gl_iters=60)
+    base_hps = dict(
+        batch_size=32, seg_len=64, n_feat=513, emb_size=128, spk_emb_size=32,
+        n_speakers=6, bank_size=8, bank_channels=64, conv_channels=256,
+        lr=4e-4, lat_sched_iters=max(1, args.iters), alpha_enc=0.02,
+    )
+    hps = Hps(**base_hps, n_critic=2)
+    manifest = build_corpus(corpus, work / "ds.h5", acfg)
+
+    stats = None
+    if hps.speaker_norm:
+        from zerospeech_tts_tpu.data.speaker_norm import SpeakerStats
+
+        stats = SpeakerStats.load(work / "ds.h5", "lin")
+    ds = DeviceDataset.from_h5(work / "ds.h5", hps, target_speakers=["V001", "V002"])
+    sol = Solver(hps)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    for mode, iters in [("pretrain_AE", args.iters), ("pretrain_C", args.iters // 2),
+                        ("train", args.iters)]:
+        t0 = time.time()
+        state, m = sol.train_many(state, ds, mode, iters)
+        print(f"== {mode}: {iters} in {time.time() - t0:.1f}s "
+              f"loss_rec={float(m.get('loss_rec', np.nan)):.3f}")
+
+    import h5py
+
+    feats, names, src_spks = [], [], []
+    with h5py.File(work / "ds.h5", "r") as f:
+        for spk in f["test"]:
+            for utt in f["test"][spk]:
+                feats.append(f[f"test/{spk}/{utt}/lin"][:])
+                names.append(utt)
+                src_spks.append(spk)
+    tgt_ids = [manifest["speakers"]["V001"], manifest["speakers"]["V002"]]
+    env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in ("V001", "V002")}
+
+    def smooth(e, k=15):
+        return np.convolve(e, np.ones(k) / k, mode="same")
+
+    def measure(st):
+        """Three target-similarity probes + sharpness.
+
+        Raw envelope L2 is confounded by stage 2's whole point: the
+        L1-trained stage-1 decoder is mean-reverting, so its blurry output
+        sits unnaturally close to the target's MEAN envelope and any added
+        spectral detail moves it away. The cosine (shape) and smoothed-L2
+        probes remove the fine-detail term so "drifted off the target
+        voice" and "added the detail the critic asks for" separate."""
+        c = Converter(hps, acfg, st.enc, st.dec, gl_iters=40, batch_size=4, stats=stats)
+        _, w = c.convert_features_multi(
+            feats, tgt_ids, tgt_names=["V001", "V002"], src_speakers=src_spks
+        )
+        d_all, d_sm, cos_all, sharp, hits, total = [], [], [], [], 0, 0
+        for k, tgt in enumerate(("V001", "V002")):
+            other = "V002" if tgt == "V001" else "V001"
+            for wav in w[k]:
+                _, lin = dsp_audio.get_spectrograms(wav.astype(np.float32) / 32767.0, acfg)
+                e = lin.mean(axis=0)
+                d_t = float(np.linalg.norm(e - env[tgt]))
+                hits += int(d_t < float(np.linalg.norm(e - env[other])))
+                total += 1
+                d_all.append(d_t)
+                d_sm.append(float(np.linalg.norm(smooth(e) - smooth(env[tgt]))))
+                cos_all.append(float(
+                    np.dot(e, env[tgt])
+                    / (np.linalg.norm(e) * np.linalg.norm(env[tgt]) + 1e-9)
+                ))
+                sharp.append(float(np.abs(np.diff(lin, axis=0)).mean()))
+        return {
+            "target_envelope_dist": round(float(np.mean(d_all)), 4),
+            "target_envelope_dist_smooth": round(float(np.mean(d_sm)), 4),
+            "target_envelope_cos": round(float(np.mean(cos_all)), 4),
+            "target_envelope_accuracy": round(hits / total, 3),
+            "spectral_sharpness": round(float(np.mean(sharp)), 5),
+        }
+
+    pre = measure(state)
+    print("== stage-1 baseline:", pre)
+
+    configs = [
+        {"name": "demo_current", "gan_iters": 100, "n_critic": 2, "beta_rec": 0.0},
+        {"name": "rec_anchor_long", "gan_iters": 300, "n_critic": 2, "beta_rec": 0.2},
+    ]
+    report = {"stage1_iters": args.iters, "pre": pre, "configs": []}
+    for cfg in configs:
+        h2 = Hps(**base_hps, n_critic=cfg["n_critic"], beta_rec=cfg["beta_rec"])
+        sol2 = Solver(h2)
+        st = jax.tree.map(jax.numpy.copy, state)
+        trend = []
+        t0 = time.time()
+        n_chunks = 4
+        per = max(1, cfg["gan_iters"] // n_chunks)
+        for _ in range(n_chunks):
+            st, m = sol2.train_many(st, ds, "patchGAN", per)
+            trend.append(round(float(m["w_dist"]), 3))
+        post = measure(st)
+        row = {
+            **cfg,
+            "post": post,
+            "envelope_dist_delta": round(pre["target_envelope_dist"] - post["target_envelope_dist"], 4),
+            "envelope_dist_smooth_delta": round(
+                pre["target_envelope_dist_smooth"] - post["target_envelope_dist_smooth"], 4),
+            "envelope_cos_delta": round(
+                post["target_envelope_cos"] - pre["target_envelope_cos"], 4),
+            "sharpness_delta": round(post["spectral_sharpness"] - pre["spectral_sharpness"], 5),
+            "w_dist_trend": trend,
+            "seconds": round(time.time() - t0, 1),
+        }
+        report["configs"].append(row)
+        print("==", json.dumps(row))
+
+    report["wall_seconds"] = round(time.time() - t_start, 1)
+    print(json.dumps(report, indent=2))
+    (work / "stage2_ab.json").write_text(json.dumps(report, indent=2) + "\n")
+    print(f"report -> {work / 'stage2_ab.json'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
