@@ -376,6 +376,43 @@ def main():
                 "mixed_padding_overhead": round(sum(padded) / sum(true_frames) - 1, 4),
                 "mixed_desc": "32 utts, 1-8 s uniform, convert_wav_dir incl. file IO, bucket=256, batch=8",
             }
+            # adaptive bucket edges (same program COUNT, optimally placed on
+            # the 64-frame grid): the planned padding is free to record; the
+            # timed A/B only runs when the soft budget allows (its programs
+            # are new shapes -> possible cold compiles)
+            from zerospeech_tts_tpu.convert import plan_buckets
+
+            k_edges = len(set(padded))
+            a_edges = plan_buckets(true_frames, k_edges, 64)
+            a_padded = [next(e for e in sorted(a_edges) if e >= tf) for tf in true_frames]
+            mixed["mixed_buckets_adaptive"] = a_edges
+            mixed["mixed_padding_overhead_adaptive"] = round(
+                sum(a_padded) / sum(true_frames) - 1, 4
+            )
+            if budget_left():
+                conv_mixed.bucket_frames = 64  # fit grid (shapes stay /64)
+                times_a = []
+                for p in range(n_mixed_passes + 1):
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    t0 = time.perf_counter()
+                    convert_wav_dir(
+                        conv_mixed, wav_dir, out_dir, {"V000": 0}, sr=sr,
+                        adaptive_buckets=k_edges,
+                    )
+                    dt_a = time.perf_counter() - t0
+                    if p > 0:
+                        times_a.append(dt_a)
+                    print(
+                        f"mixed adaptive pass {p}: {n_utts / dt_a:.1f} utt/s"
+                        + (" (compile)" if p == 0 else ""),
+                        file=sys.stderr,
+                    )
+                    if p == 0 and not budget_left():
+                        break  # compile ate the budget; keep what we have
+                if times_a:
+                    mixed["corpus_conversion_throughput_mixed_adaptive"] = round(
+                        n_utts / float(np.median(times_a)), 4
+                    )
         except Exception as e:
             print(f"mixed-length bench failed: {e!r}", file=sys.stderr)
         finally:

@@ -1,0 +1,150 @@
+"""Adaptive bucket-edge planning for corpus conversion.
+
+The uniform `ceil(t/bucket_frames)` scheme loses frames to padding wherever
+the corpus length histogram is uneven (31% on the recorded mixed-length
+bench, docs/performance.md). `plan_buckets` places the same number of edges
+optimally; these tests pin its optimality (vs brute force), its dominance
+over uniform quantization, and the fitted Converter's behavior.
+"""
+
+import itertools
+
+import jax
+import numpy as np
+import pytest
+
+from zerospeech_tts_tpu.convert import Converter, plan_buckets
+
+
+def _waste(lengths, edges):
+    edges = sorted(edges)
+    total = 0
+    for t in lengths:
+        e = next((e for e in edges if e >= t), None)
+        assert e is not None, f"no edge covers {t}"
+        total += e - t
+    return total
+
+
+def _brute_force(lengths, k, q):
+    cands = sorted({-(-t // q) * q for t in lengths})
+    best = None
+    for r in range(1, min(k, len(cands)) + 1):
+        for sub in itertools.combinations(cands, r):
+            if sub[-1] != cands[-1]:
+                continue  # must cover the longest utterance
+            w = _waste(lengths, sub)
+            if best is None or w < best:
+                best = w
+    return best
+
+
+def test_plan_buckets_matches_brute_force():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        lengths = rng.integers(10, 600, size=20).tolist()
+        for k in (1, 2, 3):
+            edges = plan_buckets(lengths, k, 32)
+            assert len(edges) <= k
+            assert all(e % 32 == 0 for e in edges)
+            assert _waste(lengths, edges) == _brute_force(lengths, k, 32)
+
+
+def test_plan_buckets_never_worse_than_uniform():
+    rng = np.random.default_rng(1)
+    lengths = (rng.uniform(1, 8, size=64) * 80).astype(int).tolist()  # ~1-8s at 80 fr/s
+    bucket_frames = 256
+    uniform_edges = sorted({-(-t // bucket_frames) * bucket_frames for t in lengths})
+    # same program budget, edges on the finer 64-frame grid
+    edges = plan_buckets(lengths, len(uniform_edges), 64)
+    assert _waste(lengths, edges) <= _waste(lengths, uniform_edges)
+    # on this spread the win is substantial (uniform wastes ~31% of frames)
+    assert _waste(lengths, edges) < 0.75 * _waste(lengths, uniform_edges)
+
+
+def test_plan_buckets_edge_cases():
+    assert plan_buckets([], 3, 64) == []
+    assert plan_buckets([100], 3, 64) == [128]
+    # k >= number of distinct quantized lengths -> zero-ish waste plan
+    edges = plan_buckets([64, 128, 200], 8, 64)
+    assert edges == [64, 128, 256]
+
+
+def test_fitted_converter_converts_and_respects_plan(tiny_hps):
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    lengths = [24, 40, 48, 72]
+    feats = [rng.uniform(0, 1, (t, 129)).astype(np.float32) for t in lengths]
+
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=8)
+    edges = conv.fit_buckets(lengths, 2)
+    assert edges == [48, 72]  # optimal 2-edge plan on the 8-frame grid
+    assert conv._bucket_of(40) == 48 and conv._bucket_of(72) == 72
+    # beyond the fitted plan: uniform fallback keeps out-of-plan inputs working
+    assert conv._bucket_of(100) == 104
+
+    units, wavs = conv.convert_features_multi(feats, [0, 1])
+    ds, hop = h.downsample, acfg.hop_length
+    for t, u in zip(lengths, units):
+        assert u.shape == (t // ds, h.emb_size)
+        assert set(np.unique(u)) <= {0, 1}
+    for k in range(2):
+        for t, w in zip(lengths, wavs[k]):
+            assert w.dtype == np.int16 and len(w) == (t - 1) * hop
+
+
+def test_fitted_bucket_identical_when_edge_unchanged(tiny_hps):
+    """An utterance whose padded shape is the same under the fitted and the
+    uniform plan must produce bit-identical units and wavs (the plan only
+    changes WHICH bucket a length lands in, never the program for a shape)."""
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    feats = [np.random.default_rng(3).uniform(0, 1, (32, 129)).astype(np.float32)]
+
+    c0 = Converter(h, acfg, state.enc, state.dec, batch_size=1, bucket_frames=32)
+    u0, w0 = c0.convert_features_multi(feats, [0])
+    c1 = Converter(h, acfg, state.enc, state.dec, batch_size=1, bucket_frames=32)
+    c1.fit_buckets([32], 4)
+    assert c1.bucket_edges == [32]
+    u1, w1 = c1.convert_features_multi(feats, [0])
+    np.testing.assert_array_equal(u0[0], u1[0])
+    np.testing.assert_array_equal(w0[0][0], w1[0][0])
+
+
+def test_convert_wav_dir_adaptive(tmp_path, tiny_hps):
+    """CLI-level path: convert_wav_dir(adaptive_buckets=K) fits post-trim
+    lengths and writes the same artifact set as the uniform path."""
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.convert import convert_wav_dir
+    from zerospeech_tts_tpu.dsp.wavio import save_wav
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    wav_dir = tmp_path / "wavs"
+    for i, n in enumerate([1600, 2600, 4000]):
+        save_wav(wav_dir / f"u{i}.wav", (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16),
+                 acfg.sr)
+
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=8)
+    out = convert_wav_dir(conv, wav_dir, tmp_path / "res", {"S0": 0}, sr=acfg.sr,
+                          adaptive_buckets=2)
+    assert out["n_utterances"] == 3 and out["n_wavs"] == 3
+    assert conv.bucket_edges and len(conv.bucket_edges) <= 2
+    for i in range(3):
+        assert (tmp_path / "res" / "units" / f"u{i}.txt").exists()
+        assert (tmp_path / "res" / "S0" / f"u{i}.wav").exists()

@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "input bytes, ~0.997 unit agreement)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"],
                    help="features the model was trained on")
+    p.add_argument("--adaptive-buckets", type=int, default=None, metavar="K",
+                   help="fit <=K length-bucket edges to the corpus length "
+                        "histogram before converting (same program count as "
+                        "uniform bucketing, less padding waste; edges stay "
+                        "multiples of the 64-frame grid)")
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
                    metavar="STEP|DIR",
                    help="convert from a specific checkpoint: STEP number, "
@@ -604,6 +609,7 @@ def cmd_convert(args):
                 sr=acfg.sr,
                 limit=args.limit,
                 units_only=args.units_only,
+                adaptive_buckets=args.adaptive_buckets,
             )
         else:
             out = convert_corpus(
@@ -615,6 +621,7 @@ def cmd_convert(args):
                 sr=acfg.sr,
                 limit=args.limit,
                 units_only=args.units_only,
+                adaptive_buckets=args.adaptive_buckets,
             )
     dt = time.time() - t0
     print(

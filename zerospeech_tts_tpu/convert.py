@@ -68,6 +68,57 @@ def read_units(path: str | Path) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int32, ndmin=2)
 
 
+def plan_buckets(frame_lengths, max_buckets: int, quantum: int) -> list[int]:
+    """Pick <= max_buckets bucket edges (multiples of ``quantum``) that
+    minimize total padded frames for the given utterance length multiset.
+
+    Uniform quantization (``ceil(t/bucket_frames)*bucket_frames``) wastes
+    frames wherever the corpus length histogram is uneven — the recorded
+    mixed-length bench loses 31% of frames to padding that way (see
+    docs/performance.md). Placing the SAME NUMBER of edges adaptively keeps
+    the program/compile count unchanged while cutting the padding, so the
+    win survives on real (non-wire-bound) hardware too.
+
+    Exact DP (1-D clustering): utterances are grouped by quantized length;
+    dp[j][k] = min waste covering groups 1..j with k edges, edge k at group
+    j's value. O(m^2 * max_buckets) for m distinct quantized lengths.
+    """
+    ts = np.asarray(frame_lengths, np.int64)
+    if ts.size == 0:
+        return []
+    q = int(quantum)
+    quant = -(-ts // q) * q  # ceil to quantum
+    vals, inv = np.unique(quant, return_inverse=True)
+    m = len(vals)
+    cnt = np.bincount(inv, minlength=m).astype(np.int64)
+    tsum = np.bincount(inv, weights=ts.astype(np.float64), minlength=m)
+    ccum = np.concatenate([[0], np.cumsum(cnt)])
+    scum = np.concatenate([[0.0], np.cumsum(tsum)])
+    k_max = min(int(max_buckets), m)
+    INF = float("inf")
+    dp = np.full((m + 1, k_max + 1), INF)
+    prev = np.zeros((m + 1, k_max + 1), np.int64)
+    dp[0, 0] = 0.0
+    for k in range(1, k_max + 1):
+        for j in range(1, m + 1):
+            # groups i+1..j all pad to vals[j-1]
+            best, arg = INF, 0
+            for i in range(k - 1, j):
+                if dp[i, k - 1] == INF:
+                    continue
+                c = dp[i, k - 1] + vals[j - 1] * (ccum[j] - ccum[i]) - (scum[j] - scum[i])
+                if c < best:
+                    best, arg = c, i
+            dp[j, k] = best
+            prev[j, k] = arg
+    k_best = int(np.argmin(dp[m, 1:])) + 1  # fewer edges can never help, but be safe
+    edges, j = [], m
+    for k in range(k_best, 0, -1):
+        edges.append(int(vals[j - 1]))
+        j = int(prev[j, k])
+    return sorted(edges)
+
+
 class Converter:
     """Checkpointed encoder+decoder -> conversion programs, cached per
     (n_frames, batch) bucket shape."""
@@ -134,12 +185,37 @@ class Converter:
         self.stft_method = stft_method
         self.batch_size = batch_size
         self.bucket_frames = bucket_frames
+        self.bucket_edges: list[int] | None = None  # set by fit_buckets()
         self.stats = stats
         self.encoder = Encoder(hps)
         self.decoder = Decoder(hps)
         self._progs: dict = {}
         self._enc_progs: dict = {}
         self._wav_progs: dict = {}
+
+    # ------------------------------------------------------------- buckets
+
+    def _bucket_of(self, t: int) -> int:
+        """Bucket (padded frame count) for a true frame count ``t``:
+        smallest fitted edge >= t when fit_buckets() ran, else uniform
+        ceil-to-bucket_frames quantization."""
+        if self.bucket_edges:
+            j = int(np.searchsorted(np.asarray(self.bucket_edges), t))
+            if j < len(self.bucket_edges):
+                return self.bucket_edges[j]
+            # longer than anything fitted (out-of-plan utterance): fall back
+            # to uniform quantization so the program still exists
+        return -(-t // self.bucket_frames) * self.bucket_frames
+
+    def fit_buckets(self, frame_lengths, max_buckets: int) -> list[int]:
+        """Fit adaptive bucket edges to an observed utterance length
+        distribution (frame counts BEFORE padding). Keeps at most
+        ``max_buckets`` distinct program shapes — same compile/dispatch
+        count as uniform bucketing with that many occupied buckets, less
+        padding. Edges stay multiples of ``bucket_frames`` so shapes remain
+        grid-aligned (downsample divides them) and reusable across corpora."""
+        self.bucket_edges = plan_buckets(frame_lengths, max_buckets, self.bucket_frames)
+        return self.bucket_edges
 
     # ------------------------------------------------------------ programs
 
@@ -416,8 +492,7 @@ class Converter:
         buckets: dict[int, list[int]] = {}
         for i in np.argsort([-len(w) for w in wavs], kind="stable"):
             t = dsp_audio.n_frames_for(len(wavs[int(i)]), acfg)
-            tb = -(-t // self.bucket_frames) * self.bucket_frames
-            buckets.setdefault(tb, []).append(int(i))
+            buckets.setdefault(self._bucket_of(t), []).append(int(i))
         ds, hop = hps.downsample, acfg.hop_length
         inflight = []
         for tb, idxs in buckets.items():
@@ -462,8 +537,7 @@ class Converter:
         out: list = [None] * n
         buckets: dict[int, list[int]] = {}
         for i in np.argsort([-(f.shape[0]) for f in feats_list], kind="stable"):
-            tb = -(-feats_list[i].shape[0] // self.bucket_frames) * self.bucket_frames
-            buckets.setdefault(tb, []).append(int(i))
+            buckets.setdefault(self._bucket_of(feats_list[i].shape[0]), []).append(int(i))
         ds = self.hps.downsample
         inflight = []
         for tb, idxs in buckets.items():
@@ -489,7 +563,7 @@ class Converter:
 
     def _pad_frames(self, feats: np.ndarray) -> np.ndarray:
         t = feats.shape[0]
-        tb = -(-t // self.bucket_frames) * self.bucket_frames
+        tb = self._bucket_of(t)
         if tb > t:
             feats = np.pad(feats, ((0, tb - t), (0, 0)))
         return feats
@@ -536,8 +610,7 @@ class Converter:
         buckets: dict[int, list[int]] = {}
         order = np.argsort([-(f.shape[0]) for f in feats_list], kind="stable")
         for i in order:
-            tb = -(-feats_list[i].shape[0] // self.bucket_frames) * self.bucket_frames
-            buckets.setdefault(tb, []).append(int(i))
+            buckets.setdefault(self._bucket_of(feats_list[i].shape[0]), []).append(int(i))
 
         ds, hop = self.hps.downsample, self.acfg.hop_length
         spk_mat = np.tile(np.asarray(spk_ids, np.int32)[:, None], (1, self.batch_size))
@@ -627,8 +700,7 @@ class Converter:
         buckets: dict[int, list[int]] = {}
         for i in np.argsort([-len(w) for w in wavs], kind="stable"):
             t = dsp_audio.n_frames_for(len(wavs[int(i)]), acfg)
-            tb = -(-t // self.bucket_frames) * self.bucket_frames
-            buckets.setdefault(tb, []).append(int(i))
+            buckets.setdefault(self._bucket_of(t), []).append(int(i))
 
         ds, hop = hps.downsample, acfg.hop_length
         spk_mat = np.tile(np.asarray(spk_ids, np.int32)[:, None], (1, self.batch_size))
@@ -701,12 +773,15 @@ def convert_corpus(
     limit: int | None = None,
     units_only: bool = False,
     progress=None,
+    adaptive_buckets: int | None = None,
 ) -> dict:
     """Corpus-wide conversion + unit extraction (ref --test, SURVEY.md §3.4).
 
     Reads precomputed lin features from the h5 corpus, writes
     ``<result>/units/<utt>.txt`` once per utterance and
     ``<result>/<target>/<utt>.wav`` per target speaker.
+    ``adaptive_buckets=K`` fits <=K bucket edges to the corpus length
+    histogram before converting (less padding, same program count).
     """
     result_dir = Path(result_dir)
     feats, names, srcs = [], [], []
@@ -725,6 +800,8 @@ def convert_corpus(
 
     n_wav = 0
     tgt_names = list(target_speakers)
+    if adaptive_buckets:
+        converter.fit_buckets([f.shape[0] for f in feats], adaptive_buckets)
     if units_only:
         units_list = converter.encode_units(feats, src_speakers=srcs)
         for utt, units in zip(names, units_list):
@@ -753,13 +830,15 @@ def convert_wav_dir(
     limit: int | None = None,
     units_only: bool = False,
     progress=None,
+    adaptive_buckets: int | None = None,
 ) -> dict:
     """Corpus conversion straight from a directory of wavs — the literal
     shape of the reference --test stack (SURVEY.md §3.4 iterates
     english/test/*.wav). No preprocessed h5 needed for the features; the
     fused PCM-in program computes them on-device. Source speakers are
     unknown for a flat test dir, so speaker_norm (if on) uses the corpus
-    GLOBAL statistics (the convert_wav contract)."""
+    GLOBAL statistics (the convert_wav contract). ``adaptive_buckets=K``
+    fits <=K bucket edges to the (post-trim) length histogram first."""
     result_dir = Path(result_dir)
     wav_paths = sorted(Path(wav_dir).glob("*.wav"))
     if limit:
@@ -769,8 +848,17 @@ def convert_wav_dir(
     ys = [load_wav(p, sr) for p in wav_paths]
     names = [p.stem for p in wav_paths]
     tgt_names = list(target_speakers)
+    trim = True
+    if adaptive_buckets:
+        # fit on the lengths the programs will actually see: trim here once
+        # and skip the (idempotent) trim inside the conversion call
+        ys = [trim_silence(y, converter.acfg.top_db) for y in ys]
+        trim = False
+        converter.fit_buckets(
+            [dsp_audio.n_frames_for(len(y), converter.acfg) for y in ys], adaptive_buckets
+        )
     if units_only:
-        units_list = converter.encode_units_from_wavs(ys)
+        units_list = converter.encode_units_from_wavs(ys, trim=trim)
         for utt, units in zip(names, units_list):
             write_units(result_dir / "units" / f"{utt}.txt", units)
         return {"n_utterances": len(names), "n_wavs": 0, "result_dir": str(result_dir)}
@@ -778,6 +866,7 @@ def convert_wav_dir(
         ys,
         [target_speakers[t] for t in tgt_names],
         tgt_names=tgt_names if converter.stats is not None else None,
+        trim=trim,
     )
     for utt, units in zip(names, units_list):
         write_units(result_dir / "units" / f"{utt}.txt", units)
