@@ -15,6 +15,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -165,7 +166,11 @@ def main():
     # programs compile ~10 min each cold on this 1-CPU host); each extra
     # section is also individually fail-soft
     t_bench_start = time.perf_counter()
-    budget_s = float(__import__("os").environ.get("ZSTTS_BENCH_BUDGET_S", 2700))
+    try:
+        budget_s = float(os.environ.get("ZSTTS_BENCH_BUDGET_S", 2700))
+    except ValueError as e:  # malformed override must not kill the headline
+        print(f"bad ZSTTS_BENCH_BUDGET_S ({e}); using 2700", file=sys.stderr)
+        budget_s = 2700.0
 
     def budget_left() -> bool:
         return (time.perf_counter() - t_bench_start) < budget_s
@@ -395,11 +400,15 @@ def main():
                 for p in range(n_mixed_passes + 1):
                     shutil.rmtree(out_dir, ignore_errors=True)
                     t0 = time.perf_counter()
-                    convert_wav_dir(
+                    res_a = convert_wav_dir(
                         conv_mixed, wav_dir, out_dir, {"V000": 0}, sr=sr,
                         adaptive_buckets=k_edges,
                     )
                     dt_a = time.perf_counter() - t0
+                    # the plan the run actually executed (post-trim lengths)
+                    # supersedes the pre-trim planning estimate above
+                    mixed["mixed_buckets_adaptive"] = res_a["bucket_edges"]
+                    mixed["mixed_padding_overhead_adaptive"] = res_a["padding_overhead"]
                     if p > 0:
                         times_a.append(dt_a)
                     print(
@@ -452,7 +461,6 @@ def main():
     # device-resident multi-step path (skipped in --quick to bound runtime)
     train_sps = None
     if not quick:
-        import os
         import sys as _sys
         import tempfile
 
@@ -498,7 +506,6 @@ def main():
     # a conservative lower bound on utilization.
     train_mfu = {}
     if train_sps and budget_left():
-        import os
         import subprocess
 
         cache_p = "/tmp/zstts_train_flops.json"

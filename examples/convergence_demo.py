@@ -82,6 +82,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:  # compile-bound host: reuse programs across demo runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/zstts_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from zerospeech_tts_tpu.config import AudioConfig, Hps
     from zerospeech_tts_tpu.convert import Converter
@@ -164,11 +169,16 @@ def main():
 
     env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in ("V001", "V002")}
 
+    # ONE Converter for the whole demo: its compiled programs take enc/dec
+    # params as arguments, so swapping params in reuses every program the
+    # pre-GAN conversion already compiled (this host is compile-bound)
+    conv = Converter(hps, acfg, state.enc, state.dec, gl_iters=40, batch_size=4, stats=stats)
+
     def convert_and_measure(st):
         """Convert held-out content to both target voices and measure how
         target-shaped + how sharp the outputs are (the stage-2 A/B probe)."""
-        c = Converter(hps, acfg, st.enc, st.dec, gl_iters=40, batch_size=4, stats=stats)
-        u, w = c.convert_features_multi(
+        conv.enc_params, conv.dec_params = st.enc, st.dec
+        u, w = conv.convert_features_multi(
             feats, tgt_ids, tgt_names=["V001", "V002"], src_speakers=src_spks
         )
         d_tgt_all, sharp_all, hits, total = [], [], 0, 0

@@ -144,7 +144,19 @@ def test_convert_wav_dir_adaptive(tmp_path, tiny_hps):
     out = convert_wav_dir(conv, wav_dir, tmp_path / "res", {"S0": 0}, sr=acfg.sr,
                           adaptive_buckets=2)
     assert out["n_utterances"] == 3 and out["n_wavs"] == 3
-    assert conv.bucket_edges and len(conv.bucket_edges) <= 2
+    # the EXECUTED plan is reported in the result (benchmarks record this,
+    # not a recomputed estimate) and the fit is scoped to the call — later
+    # conversions on this Converter go back to uniform bucketing
+    assert out["bucket_edges"] and len(out["bucket_edges"]) <= 2
+    assert out["padding_overhead"] >= 0
+    assert conv.bucket_edges is None
     for i in range(3):
         assert (tmp_path / "res" / "units" / f"u{i}.txt").exists()
         assert (tmp_path / "res" / "S0" / f"u{i}.wav").exists()
+
+
+def test_plan_buckets_rejects_nonpositive_k():
+    with pytest.raises(ValueError, match="adaptive bucket count"):
+        plan_buckets([100, 200], 0, 64)
+    with pytest.raises(ValueError, match="adaptive bucket count"):
+        plan_buckets([100, 200], -1, 64)

@@ -98,6 +98,11 @@ def main() -> int:
     def smooth(e, k=15):
         return np.convolve(e, np.ones(k) / k, mode="same")
 
+    # one Converter for all three measurement points (pre + 2 configs): the
+    # compiled programs take params as arguments, so swapping them in skips
+    # recompiling the batch-4 GL-40 programs twice on this compile-bound host
+    conv = Converter(hps, acfg, state.enc, state.dec, gl_iters=40, batch_size=4, stats=stats)
+
     def measure(st):
         """Three target-similarity probes + sharpness.
 
@@ -107,8 +112,8 @@ def main() -> int:
         spectral detail moves it away. The cosine (shape) and smoothed-L2
         probes remove the fine-detail term so "drifted off the target
         voice" and "added the detail the critic asks for" separate."""
-        c = Converter(hps, acfg, st.enc, st.dec, gl_iters=40, batch_size=4, stats=stats)
-        _, w = c.convert_features_multi(
+        conv.enc_params, conv.dec_params = st.enc, st.dec
+        _, w = conv.convert_features_multi(
             feats, tgt_ids, tgt_names=["V001", "V002"], src_speakers=src_spks
         )
         d_all, d_sm, cos_all, sharp, hits, total = [], [], [], [], 0, 0

@@ -25,6 +25,13 @@ from pathlib import Path
 from zerospeech_tts_tpu.config import DEFAULT_HPS_PATH, load_configs
 
 
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, got {s}")
+    return v
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("-hps", "--hps", default=str(DEFAULT_HPS_PATH), help="hps JSON path")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
@@ -115,7 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "input bytes, ~0.997 unit agreement)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"],
                    help="features the model was trained on")
-    p.add_argument("--adaptive-buckets", type=int, default=None, metavar="K",
+    p.add_argument("--adaptive-buckets", type=_positive_int, default=None, metavar="K",
                    help="fit <=K length-bucket edges to the corpus length "
                         "histogram before converting (same program count as "
                         "uniform bucketing, less padding waste; edges stay "

@@ -83,6 +83,8 @@ def plan_buckets(frame_lengths, max_buckets: int, quantum: int) -> list[int]:
     dp[j][k] = min waste covering groups 1..j with k edges, edge k at group
     j's value. O(m^2 * max_buckets) for m distinct quantized lengths.
     """
+    if int(max_buckets) < 1:
+        raise ValueError(f"adaptive bucket count must be >= 1, got {max_buckets}")
     ts = np.asarray(frame_lengths, np.int64)
     if ts.size == 0:
         return []
@@ -763,6 +765,17 @@ class Converter:
         return units[0], wavs[0][0]
 
 
+def _bucket_stats(converter: Converter, true_frames) -> dict:
+    """Bucket plan ACTUALLY in effect for these utterance lengths — recorded
+    in the conversion result so benchmarks report the executed plan, not a
+    separately recomputed one (they can differ, e.g. pre- vs post-trim)."""
+    padded = [converter._bucket_of(t) for t in true_frames]
+    return {
+        "bucket_edges": sorted(set(padded)),
+        "padding_overhead": round(sum(padded) / max(sum(true_frames), 1) - 1, 4),
+    }
+
+
 def convert_corpus(
     converter: Converter,
     dataset_path: str | Path,
@@ -800,16 +813,28 @@ def convert_corpus(
 
     n_wav = 0
     tgt_names = list(target_speakers)
-    if adaptive_buckets:
-        converter.fit_buckets([f.shape[0] for f in feats], adaptive_buckets)
-    if units_only:
-        units_list = converter.encode_units(feats, src_speakers=srcs)
-        for utt, units in zip(names, units_list):
-            write_units(result_dir / "units" / f"{utt}.txt", units)
-        return {"n_utterances": len(names), "n_wavs": 0, "result_dir": str(result_dir)}
-    units_list, wavs_per_tgt = converter.convert_features_multi(
-        feats, [target_speakers[t] for t in tgt_names], tgt_names=tgt_names, src_speakers=srcs
-    )
+    # adaptive edges are scoped to THIS corpus: fitted edges must not
+    # silently govern later conversions on the same Converter (whose
+    # program cache is keyed by shape and survives either way)
+    prev_edges = converter.bucket_edges
+    bucket_stats = {}
+    try:
+        if adaptive_buckets:
+            converter.fit_buckets([f.shape[0] for f in feats], adaptive_buckets)
+            bucket_stats = _bucket_stats(converter, [f.shape[0] for f in feats])
+        if units_only:
+            units_list = converter.encode_units(feats, src_speakers=srcs)
+            for utt, units in zip(names, units_list):
+                write_units(result_dir / "units" / f"{utt}.txt", units)
+            return {
+                "n_utterances": len(names), "n_wavs": 0,
+                "result_dir": str(result_dir), **bucket_stats,
+            }
+        units_list, wavs_per_tgt = converter.convert_features_multi(
+            feats, [target_speakers[t] for t in tgt_names], tgt_names=tgt_names, src_speakers=srcs
+        )
+    finally:
+        converter.bucket_edges = prev_edges
     for utt, units in zip(names, units_list):
         write_units(result_dir / "units" / f"{utt}.txt", units)
     for k, tgt_name in enumerate(tgt_names):
@@ -818,7 +843,10 @@ def convert_corpus(
             n_wav += 1
             if progress:
                 progress(tgt_name, utt)
-    return {"n_utterances": len(names), "n_wavs": n_wav, "result_dir": str(result_dir)}
+    return {
+        "n_utterances": len(names), "n_wavs": n_wav,
+        "result_dir": str(result_dir), **bucket_stats,
+    }
 
 
 def convert_wav_dir(
@@ -849,25 +877,33 @@ def convert_wav_dir(
     names = [p.stem for p in wav_paths]
     tgt_names = list(target_speakers)
     trim = True
-    if adaptive_buckets:
-        # fit on the lengths the programs will actually see: trim here once
-        # and skip the (idempotent) trim inside the conversion call
-        ys = [trim_silence(y, converter.acfg.top_db) for y in ys]
-        trim = False
-        converter.fit_buckets(
-            [dsp_audio.n_frames_for(len(y), converter.acfg) for y in ys], adaptive_buckets
+    prev_edges = converter.bucket_edges  # scope fitted edges to this corpus
+    bucket_stats = {}
+    try:
+        if adaptive_buckets:
+            # fit on the lengths the programs will actually see: trim here
+            # once and skip the (idempotent) trim inside the conversion call
+            ys = [trim_silence(y, converter.acfg.top_db) for y in ys]
+            trim = False
+            true_frames = [dsp_audio.n_frames_for(len(y), converter.acfg) for y in ys]
+            converter.fit_buckets(true_frames, adaptive_buckets)
+            bucket_stats = _bucket_stats(converter, true_frames)
+        if units_only:
+            units_list = converter.encode_units_from_wavs(ys, trim=trim)
+            for utt, units in zip(names, units_list):
+                write_units(result_dir / "units" / f"{utt}.txt", units)
+            return {
+                "n_utterances": len(names), "n_wavs": 0,
+                "result_dir": str(result_dir), **bucket_stats,
+            }
+        units_list, wavs_per_tgt = converter.convert_wavs_multi(
+            ys,
+            [target_speakers[t] for t in tgt_names],
+            tgt_names=tgt_names if converter.stats is not None else None,
+            trim=trim,
         )
-    if units_only:
-        units_list = converter.encode_units_from_wavs(ys, trim=trim)
-        for utt, units in zip(names, units_list):
-            write_units(result_dir / "units" / f"{utt}.txt", units)
-        return {"n_utterances": len(names), "n_wavs": 0, "result_dir": str(result_dir)}
-    units_list, wavs_per_tgt = converter.convert_wavs_multi(
-        ys,
-        [target_speakers[t] for t in tgt_names],
-        tgt_names=tgt_names if converter.stats is not None else None,
-        trim=trim,
-    )
+    finally:
+        converter.bucket_edges = prev_edges
     for utt, units in zip(names, units_list):
         write_units(result_dir / "units" / f"{utt}.txt", units)
     n_wav = 0
@@ -877,7 +913,10 @@ def convert_wav_dir(
             n_wav += 1
             if progress:
                 progress(tgt_name, utt)
-    return {"n_utterances": len(names), "n_wavs": n_wav, "result_dir": str(result_dir)}
+    return {
+        "n_utterances": len(names), "n_wavs": n_wav,
+        "result_dir": str(result_dir), **bucket_stats,
+    }
 
 
 def convert_single(
