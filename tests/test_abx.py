@@ -99,6 +99,46 @@ def test_abx_across_speaker_single_exemplars():
     assert rep["abx"] > 0.9
 
 
+def _u(*bits):
+    return np.asarray([bits], np.int32)  # [1, D] unit snippet: DTW = Hamming
+
+
+def test_abx_hierarchical_aggregation_hand_computed():
+    """Official-hierarchy oracle, within-speaker: cell (A,B,s1) scores 1.0
+    (both triples correct), cell (A,B,s2) scores 0.5 (one of two triples
+    correct), no (B,A) cells (single B exemplar per speaker) -> ordered
+    (A,B) = mean(1.0, 0.5) = 0.75 = the symmetrized pair = the headline."""
+    items = [
+        {"cls": "A", "spk": "s1", "units": _u(0, 0, 0, 0)},
+        {"cls": "A", "spk": "s1", "units": _u(0, 0, 0, 1)},
+        {"cls": "B", "spk": "s1", "units": _u(1, 1, 1, 1)},
+        {"cls": "A", "spk": "s2", "units": _u(0, 0, 0, 0)},
+        {"cls": "A", "spk": "s2", "units": _u(1, 1, 0, 0)},
+        {"cls": "B", "spk": "s2", "units": _u(1, 1, 1, 0)},
+    ]
+    rep = ev.abx_discriminability(items)
+    assert rep["abx"] == pytest.approx(0.75)
+    assert rep["abx_error"] == pytest.approx(0.25)
+    assert rep["n_class_pairs"] == 1
+    assert rep["n_contexts"] == 2
+
+
+def test_abx_across_speaker_uniform_cell_weighting():
+    """Across-speaker contexts are (s_ab, s_x) CELLS with uniform weight,
+    not a pooled x draw: s2 contributes two correct x's, s3 one wrong x.
+    Uniform cell mean = (1.0 + 0.0)/2 = 0.5; pool-weighting would give 2/3."""
+    items = [
+        {"cls": "A", "spk": "s1", "units": _u(0, 0, 0, 0)},
+        {"cls": "B", "spk": "s1", "units": _u(1, 1, 1, 1)},
+        {"cls": "A", "spk": "s2", "units": _u(0, 0, 0, 0)},
+        {"cls": "A", "spk": "s2", "units": _u(0, 0, 0, 1)},
+        {"cls": "A", "spk": "s3", "units": _u(1, 1, 1, 0)},
+    ]
+    rep = ev.abx_discriminability(items, across_speaker=True)
+    assert rep["abx"] == pytest.approx(0.5)
+    assert rep["n_contexts"] == 2 and rep["n_class_pairs"] == 1
+
+
 def _dtw_scalar(a, b):
     """Literal O(Ta*Tb) scalar DP — the oracle for the vectorized
     anti-diagonal sweep in eval.dtw_distance (same tie-break priority:

@@ -12,9 +12,11 @@ training runs can track them).
   (collapse diagnostics).
 * **Unit stability** — agreement of units under window shifts (what the
   stage-1 pair objective trains; a driver of the bitrate metric).
-* **Mini-ABX** — DTW/Hamming ABX discriminability over unit snippets
-  (the challenge's primary unit-quality metric, reimplemented with
-  simplified aggregation so it runs without the external eval kit).
+* **ABX** — DTW/Hamming ABX discriminability over unit snippets (the
+  challenge's primary unit-quality metric, reimplemented with the
+  official aggregation hierarchy — triple scores -> speaker-context
+  cells -> ordered class pairs -> symmetrized pairs -> headline — so it
+  runs without the external eval kit).
 """
 
 from __future__ import annotations
@@ -162,22 +164,29 @@ def _dtw_dp_scalar(d: np.ndarray, ta: int, tb: int) -> float:
 
 
 def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dict:
-    """Mini-ABX over discrete-unit snippets (the ZR19 challenge's primary
-    unit-quality metric; the reference delegates it to the external eval
-    kit — SURVEY.md §4 — this is a self-contained reimplementation with
-    SIMPLIFIED aggregation, documented below).
+    """ABX discriminability over discrete-unit snippets (the ZR19
+    challenge's primary unit-quality metric; the reference delegates it to
+    the external eval kit — SURVEY.md §4 — this is a self-contained
+    reimplementation with the official aggregation HIERARCHY).
 
     items: [{"cls": phone/category label, "spk": speaker, "units": [T, D]}]
 
-    Within-speaker ABX: for every ordered class pair (cA, cB) and speaker
-    s, and every triple (a, x of class cA, b of class cB, all speaker s,
-    a != x): score 1 if DTW(x, a) < DTW(x, b), 0.5 on ties. Across-speaker:
-    a and b share a speaker, x comes from a different one. Aggregation:
-    mean over triples within each (cA, cB[, s]) context, then mean over
-    contexts (the official kit additionally weights contexts by phone
-    frequency; this simplified mean is order-of-magnitude faithful and
-    monotone in unit quality). 1.0 = perfectly discriminable units,
-    0.5 = chance."""
+    Triple scoring: for a triple (a of class cA, b of class cB, x of class
+    cA, a != x): 1 if DTW(x, a) < DTW(x, b), 0.5 on ties, else 0.
+    Within-speaker: a, b, x all share one speaker. Across-speaker: a and b
+    share a speaker, x comes from one OTHER speaker (each (s_ab, s_x) pair
+    is its own context cell, as in the official evaluator — not a pooled
+    draw over all other speakers, which would weight contexts by pool
+    size).
+
+    Aggregation matches the ZR19 evaluator's hierarchy: triple scores
+    average within each (ordered class pair, speaker context) cell; cells
+    average (uniform weight) to an ordered-pair score; the two orders of a
+    class pair symmetrize; unordered pairs average to the headline number.
+    (The official kit has one extra level — triphone context — which
+    collapses here because an item carries a single class label.)
+    1.0 = perfectly discriminable units, 0.5 = chance; ``abx_error`` is
+    the 1-abx error rate the challenge leaderboard reports."""
     from collections import defaultdict
     from itertools import product
 
@@ -195,33 +204,50 @@ def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dic
             dcache[key] = dcache[(id(v), id(u))] = dtw_distance(u, v)
         return dcache[key]
 
-    contexts = []
+    def cell_score(a_pool, b_pool, x_pool, x_is_a_pool):
+        scores = []
+        for xi, x in enumerate(x_pool):
+            for ai, a in enumerate(a_pool):
+                if x_is_a_pool and ai == xi:
+                    continue  # a != x when both draw from the same pool
+                for b in b_pool:
+                    da, db = dist(x, a), dist(x, b)
+                    scores.append(1.0 if da < db else (0.5 if da == db else 0.0))
+        return float(np.mean(scores)) if scores else None
+
+    pair_cells: dict = defaultdict(list)  # ordered (cA, cB) -> cell scores
     for ca, cb in product(classes, classes):
         if ca == cb:
             continue
         for s in speakers:
             a_pool, b_pool = by.get((ca, s), []), by.get((cb, s), [])
-            # within-speaker draws x from a_pool and needs a distinct a;
-            # across-speaker draws x from other speakers, one a suffices
-            if len(a_pool) < (1 if across_speaker else 2) or not b_pool:
+            if not a_pool or not b_pool:
                 continue
             if across_speaker:
-                x_pool = [u for s2 in speakers if s2 != s for u in by.get((ca, s2), [])]
+                for s2 in speakers:
+                    if s2 == s:
+                        continue
+                    sc = cell_score(a_pool, b_pool, by.get((ca, s2), []), False)
+                    if sc is not None:
+                        pair_cells[(ca, cb)].append(sc)
             else:
-                x_pool = a_pool
-            scores = []
-            for xi, x in enumerate(x_pool):
-                for ai, a in enumerate(a_pool):
-                    if not across_speaker and ai == xi:
-                        continue  # a != x within-speaker
-                    for b in b_pool:
-                        da, db = dist(x, a), dist(x, b)
-                        scores.append(1.0 if da < db else (0.5 if da == db else 0.0))
-            if scores:
-                contexts.append(float(np.mean(scores)))
+                if len(a_pool) < 2:
+                    continue
+                sc = cell_score(a_pool, b_pool, a_pool, True)
+                if sc is not None:
+                    pair_cells[(ca, cb)].append(sc)
+
+    ordered = {p: float(np.mean(cells)) for p, cells in pair_cells.items()}
+    sym: dict = defaultdict(list)  # unordered pair -> its 1-2 ordered scores
+    for (ca, cb), v in ordered.items():
+        sym[tuple(sorted((ca, cb)))].append(v)
+    pair_scores = [float(np.mean(v)) for v in sym.values()]
+    abx = float(np.mean(pair_scores)) if pair_scores else float("nan")
     return {
-        "abx": round(float(np.mean(contexts)), 4) if contexts else float("nan"),
-        "n_contexts": len(contexts),
+        "abx": round(abx, 4),
+        "abx_error": round(1.0 - abx, 4) if pair_scores else float("nan"),
+        "n_class_pairs": len(pair_scores),
+        "n_contexts": sum(len(c) for c in pair_cells.values()),
         "n_classes": len(classes),
         "mode": "across-speaker" if across_speaker else "within-speaker",
     }
