@@ -156,16 +156,55 @@ def test_get_spectrograms_contract():
 
 
 def test_bucket_padding_does_not_change_features():
+    """ALL true frames — including the tail frames whose windows cross the
+    bucket zero-padding — must match across bucket sizes: the dynamic
+    true-length mirror pad keeps librosa center=True tail reflection
+    semantics (the 1e-4 slack is matmul reduction-order noise between the
+    differently-shaped XLA programs, not a semantics difference)."""
     y = _chirp(3777)
     mel_a, mag_a = A.get_spectrograms(y, CFG, bucket_frames=64)
     mel_b, mag_b = A.get_spectrograms(y, CFG, bucket_frames=1)
-    t = A.n_frames_for(len(y), CFG)
-    # all frames fully inside the true signal must be identical; the final
-    # frames overlap the zero padding only via the reflect pad, so compare
-    # frames whose window lies inside the signal.
-    safe = t - (CFG.n_fft // CFG.hop_length + 1)
-    np.testing.assert_allclose(mel_a[:safe], mel_b[:safe], atol=1e-4)
-    np.testing.assert_allclose(mag_a[:safe], mag_b[:safe], atol=1e-4)
+    np.testing.assert_allclose(mel_a, mel_b, atol=1e-4)
+    np.testing.assert_allclose(mag_a, mag_b, atol=1e-4)
+
+
+def test_mirror_pad_matches_numpy_reflect():
+    """mirror_pad(y, pad, L) == np.pad(y[:L], pad, 'reflect') over the true
+    span, for any L (incl. L < pad, exercising multi-fold zigzags)."""
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(2000).astype(np.float32)
+    pad = CFG.n_fft // 2
+    for L in (2, 3, 7, 100, 513, 1024, 2000):
+        yz = y.copy()
+        yz[L:] = 0.0  # garbage past the true length must never be read
+        got = np.asarray(A.mirror_pad(jnp.asarray(yz), pad, L))
+        want = np.pad(y[:L], (pad, pad), mode="reflect")
+        assert np.array_equal(got[: pad + L + pad], want), L
+    # static path: length=None is plain reflect padding
+    got = np.asarray(A.mirror_pad(jnp.asarray(y), pad))
+    assert np.array_equal(got, np.pad(y, (pad, pad), mode="reflect"))
+
+
+def test_bucketed_tail_frames_match_exact_length():
+    """Bucket-padded frontend == exact-length frontend on every true frame,
+    for every backend (the reference runs exact-length; ref
+    preprocess.py:~20-80). Most shapes are bit-identical; 1e-4 covers
+    cross-shape matmul reduction-order noise."""
+    rng = np.random.default_rng(5)
+    for n in (9000, 16383):
+        y = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        t = A.n_frames_for(n, CFG)
+        for method in ("fft", "matmul", "fused"):
+            mel_b, mag_b = A.get_spectrograms(y, CFG, method=method)
+            mel_e, mag_e = A.wav_to_features(jnp.asarray(y), CFG, method=method)
+            for got, want in ((mel_b, mel_e), (mag_b, mag_e)):
+                d = np.abs(np.asarray(got) - np.asarray(want)[:t])
+                # log-domain amplification near the dB floor can push a
+                # handful of rounding outliers past 1e-4; bound the bulk
+                # tightly and the outliers loosely (pre-fix the TAIL frames
+                # were off by ~0.5 — 3 orders of magnitude above this bar)
+                assert np.quantile(d, 0.999) < 1e-4, (n, method, d.max())
+                assert d.max() < 2e-3, (n, method, d.max())
 
 
 # --------------------------------------------------------------- Griffin-Lim

@@ -133,14 +133,14 @@ def _fused_wss(cfg: AudioConfig, t: int) -> np.ndarray:
     return wss.astype(np.float32)
 
 
-def _fused_segments(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+def _fused_segments(y: jnp.ndarray, cfg: AudioConfig, length=None) -> jnp.ndarray:
     """[n] signal -> [T, win_length] windowed-support segments using only
     static reshapes/slices (r = win/hop row-shifted views)."""
     n = y.shape[-1]
     t = n_frames_for(n, cfg)
     pad = cfg.n_fft // 2
     lpad = (cfg.n_fft - cfg.win_length) // 2
-    ypad = jnp.pad(y, (pad, pad), mode="reflect")
+    ypad = mirror_pad(y, pad, length)
     ys = ypad[lpad:]
     r = cfg.win_length // cfg.hop_length
     rows_needed = (t - 1 + r) * cfg.hop_length
@@ -221,31 +221,62 @@ def _frame_indices(n_samples_padded: int, n_frames: int, cfg: AudioConfig) -> np
     return idx
 
 
-def frame_signal(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
-    """Center-padded framing: reflect-pad n_fft//2 each side, then gather
-    static strided windows -> [n_frames, n_fft]."""
+def mirror_pad(y: jnp.ndarray, pad: int, length=None) -> jnp.ndarray:
+    """Center reflect-padding with an optional DYNAMIC true length.
+
+    With ``length=None`` this is ``jnp.pad(y, (pad, pad), 'reflect')``. With a
+    traced ``length`` (true sample count of a bucket-zero-padded signal) the
+    output's first ``pad + length + pad`` positions equal
+    ``np.pad(y[:length], (pad, pad), 'reflect')`` EXACTLY — the librosa
+    center=True boundary semantics the reference frontend has
+    (ref preprocess.py:~20-80) — regardless of how much zero bucket padding
+    follows. Positions beyond that span hold deeper zigzag folds (they feed
+    only frames >= the true frame count, which callers slice off). The gather
+    never reads y at or past ``length``, so garbage there is harmless.
+    """
+    n = y.shape[-1]
+    if length is None:
+        return jnp.pad(y, (pad, pad), mode="reflect")
+    i = jnp.arange(n + 2 * pad) - pad
+    L = jnp.maximum(jnp.asarray(length, jnp.int32), 2)
+    period = 2 * (L - 1)  # edge-excluded reflection period (np.pad 'reflect')
+    m = jnp.abs(i) % period
+    j = jnp.minimum(m, period - m)
+    return jnp.take(y, jnp.clip(j, 0, n - 1), axis=-1)
+
+
+def frame_signal(y: jnp.ndarray, cfg: AudioConfig, length=None) -> jnp.ndarray:
+    """Center-padded framing: reflect-pad n_fft//2 each side (about the true
+    ``length`` boundary when given), then gather static strided windows ->
+    [n_frames, n_fft]."""
     n = y.shape[-1]
     t = n_frames_for(n, cfg)
     pad = cfg.n_fft // 2
-    ypad = jnp.pad(y, (pad, pad), mode="reflect")
+    ypad = mirror_pad(y, pad, length)
     idx = _frame_indices(n + 2 * pad, t, cfg)
     return ypad[idx]
 
 
-def stft(y: jnp.ndarray, cfg: AudioConfig, method: str = "fft") -> tuple[jnp.ndarray, jnp.ndarray]:
+def stft(
+    y: jnp.ndarray, cfg: AudioConfig, method: str = "fft", length=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """STFT -> (re, im), each [n_frames, n_freq] (time-major).
 
     Methods: ``fft`` (XLA rfft), ``matmul`` (real-DFT basis matmul), and
     ``fused`` (window-folded basis + static-slice framing: gather/scatter-
     free, the MXU speed-of-light path; requires win_length % hop == 0).
+
+    ``length`` (traced, optional): true sample count of a bucket-padded
+    signal — frames within the true span then match the exact-length
+    transform bit-for-bit (see :func:`mirror_pad`).
     """
     if method == "fused":
         ca, sa, _, _ = _fused_bases(cfg)
-        segs = _fused_segments(y, cfg)
+        segs = _fused_segments(y, cfg, length)
         re = jnp.dot(segs, jnp.asarray(ca), preferred_element_type=jnp.float32)
         im = jnp.dot(segs, jnp.asarray(sa), preferred_element_type=jnp.float32)
         return re, im
-    frames = frame_signal(y, cfg) * jnp.asarray(_window(cfg))
+    frames = frame_signal(y, cfg, length) * jnp.asarray(_window(cfg))
     if method == "fft":
         spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
         return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
@@ -311,20 +342,25 @@ def db_norm_to_amp(x: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "method"))
-def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str | None = None):
+def wav_to_features(y: jnp.ndarray, cfg: AudioConfig, method: str | None = None, length=None):
     """Jitted frontend: preemphasized wav -> (mel[T, n_mels], mag[T, n_freq]),
     both dB-normalized to [0, 1]. method=None auto-selects the Pallas fused
     kernel on TPU (ops.pallas_frontend, ~20x the XLA path on-chip), the
-    matmul 'fused' path elsewhere."""
+    matmul 'fused' path elsewhere.
+
+    ``length`` (traced, optional): true sample count when ``y`` carries
+    zero bucket padding — the true frames then equal the exact-length
+    frontend bit-for-bit (reference tail semantics; frames past the true
+    count are fold garbage the caller slices off)."""
     if method is None and jax.default_backend() == "tpu" and cfg.win_length % cfg.hop_length == 0:
         method = "pallas"
     if method == "pallas":
         from zerospeech_tts_tpu.ops.pallas_frontend import wav_to_features_pallas
 
-        return wav_to_features_pallas(y, cfg)
+        return wav_to_features_pallas(y, cfg, length=length)
     method = resolve_method(cfg, method)
     yp = preemphasis(y, cfg.preemphasis)
-    re, im = stft(yp, cfg, method=method)
+    re, im = stft(yp, cfg, method=method, length=length)
     mag = jnp.sqrt(re * re + im * im + 1e-12)
     mel = jnp.dot(mag, jnp.asarray(_mel_basis(cfg)).T, preferred_element_type=jnp.float32)
     return amp_to_db_norm(mel, cfg), amp_to_db_norm(mag, cfg)
@@ -340,12 +376,14 @@ def get_spectrograms(
     """Host entry point matching the reference ``get_spectrograms`` contract
     (ref preprocess.py:~20-80): trimmed float wav -> (mel[T,80], mag[T,513])
     as numpy. Pads to a frame bucket to bound jit recompiles, then slices
-    back to the true frame count. ``sync=False`` returns lazily-sliced
+    back to the true frame count; the true length rides along as a traced
+    scalar so the tail frames keep exact librosa center=True reflection
+    semantics despite the zero padding. ``sync=False`` returns lazily-sliced
     DEVICE arrays instead — the corpus-build pipeline defers the
     device->host readback so dispatches overlap transfers."""
     t_true = n_frames_for(len(y), cfg)
     ypad = pad_to_bucket(np.asarray(y, dtype=np.float32), cfg, bucket_frames)
-    mel, mag = wav_to_features(jnp.asarray(ypad), cfg, method=method)
+    mel, mag = wav_to_features(jnp.asarray(ypad), cfg, method=method, length=len(y))
     if not sync:
         return mel[:t_true], mag[:t_true]
     return np.asarray(mel)[:t_true], np.asarray(mag)[:t_true]

@@ -116,10 +116,13 @@ def fused_frontend_pallas(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def wav_to_features_pallas(y: jnp.ndarray, cfg: AudioConfig, interpret: bool | None = None):
+def wav_to_features_pallas(
+    y: jnp.ndarray, cfg: AudioConfig, interpret: bool | None = None, length=None
+):
     """Full frontend with the Pallas core: preemphasis + static-slice
     framing feed the fused kernel. Drop-in parity with
-    dsp.audio.wav_to_features(method='fused')."""
+    dsp.audio.wav_to_features(method='fused'), including the dynamic
+    true-``length`` reflection semantics for bucket-padded signals."""
     yp = dsp_audio.preemphasis(y, cfg.preemphasis)
-    segs = dsp_audio._fused_segments(yp, cfg)
+    segs = dsp_audio._fused_segments(yp, cfg, length)
     return fused_frontend_pallas(segs, cfg, interpret=interpret)
