@@ -236,12 +236,14 @@ def main():
 
         def stage(conv_obj, rot):
             pcm = conv_obj._pcm_wire_batch(n_samp)
+            sl = np.full(n_utts, n_samp, np.int32)
             for j in range(n_utts):
                 w = conv_obj._pcm_wire_pack(wavs[(j + rot) % n_utts])
                 pcm[j, : len(w)] = w
+                sl[j] = len(w)
             args = (
                 jnp.asarray(pcm), jnp.asarray(spk_mat), jnp.asarray(sm),
-                jnp.asarray(ss), jnp.asarray(tm), jnp.asarray(tsd),
+                jnp.asarray(ss), jnp.asarray(tm), jnp.asarray(tsd), jnp.asarray(sl),
             )
             jax.block_until_ready(args)
             return args

@@ -159,3 +159,82 @@ def test_converter_respects_enc_mode(tiny_hps):
         assert np.isfinite(wavs[0][0].astype(np.float32)).all(), mode
         eu = conv.encode_units_from_wavs([wav], trim=False)[0]
         np.testing.assert_array_equal(u, eu)  # units-only path agrees
+
+
+# ------------------------------------------------- padding invariance (units)
+
+
+def test_encoder_padding_invariant(tiny_hps):
+    """Length-masked encoding of a padded bucket == exact-length encoding
+    (the reference converts batch-1 at exact length, ref convert.py per
+    SURVEY.md §3.4): per-stage mirror refills give convs exact reflect
+    context, and the masked backward GRU starts at the true tail."""
+    h = tiny_hps
+    k = jax.random.PRNGKey(7)
+    T = 72  # not a multiple of downsample: exercises the ceil length chain
+    x = jax.random.normal(k, (1, T, h.n_feat))
+    enc = Encoder(h)
+    ep = enc.init(k, jnp.zeros((1, 128, h.n_feat)))
+    exact = np.asarray(enc.apply(ep, x))  # rows: ceil(ceil(ceil(72/2)/2)/2) = 9
+    garbage = 10.0 * jax.random.normal(jax.random.PRNGKey(9), (1, 128 - T, h.n_feat))
+    masked = np.asarray(enc.apply(ep, jnp.concatenate([x, garbage], axis=1),
+                                  lengths=jnp.asarray([T])))
+    td = exact.shape[1]
+    np.testing.assert_allclose(masked[:, :td], exact, atol=2e-5, rtol=0)
+    np.testing.assert_array_equal(
+        np.asarray(hard_units(jnp.asarray(masked[:, :td]))),
+        np.asarray(hard_units(jnp.asarray(exact))),
+    )
+    # without lengths, the same garbage DOES leak (the masking is load-bearing)
+    plain = np.asarray(enc.apply(ep, jnp.concatenate([x, garbage], axis=1)))
+    assert np.abs(plain[:, :td] - exact).max() > 1e-3
+
+
+def test_decoder_padding_invariant(tiny_hps):
+    """Mirror-filled decoding of a padded latent bucket == exact-length
+    decoding on every true output frame."""
+    h = tiny_hps
+    k = jax.random.PRNGKey(3)
+    lz = 9
+    z = (jax.random.uniform(k, (1, lz, h.emb_size)) < 0.5).astype(jnp.float32)
+    spk = jnp.asarray([1])
+    dec = Decoder(h)
+    dp = dec.init(k, jnp.zeros((1, 16, h.emb_size)), spk)
+    exact = np.asarray(dec.apply(dp, z, spk))
+    garbage = 10.0 * jax.random.normal(jax.random.PRNGKey(5), (1, 16 - lz, h.emb_size))
+    masked = np.asarray(
+        dec.apply(dp, jnp.concatenate([z, garbage], axis=1), spk, lengths=jnp.asarray([lz]))
+    )
+    np.testing.assert_allclose(masked[:, : lz * h.downsample], exact, atol=2e-5, rtol=0)
+
+
+def test_converter_units_padding_invariant(tiny_hps):
+    """End-to-end: bucketed batch unit dumps == exact-length unpadded
+    encoding, bit-for-bit, across pad regimes — mid-bucket pad, pad 1..3
+    (exercises the _bucket_of minimum-padding bump), and pad 0 (exact
+    bucket edge)."""
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.convert import Converter
+    from zerospeech_tts_tpu.dsp import audio as A
+    from zerospeech_tts_tpu.train import Solver
+
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=1)
+    h = tiny_hps.replace(n_feat=129)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=32)
+    assert conv._bucket_of(31) == 64 and conv._bucket_of(32) == 32  # bump rule
+
+    rng = np.random.default_rng(11)
+    feats = []
+    for t in (20, 31, 32, 63):
+        y = (rng.standard_normal((t - 1) * acfg.hop_length + 17) * 0.3).astype(np.float32)
+        mel, mag = A.get_spectrograms(y, acfg, bucket_frames=32)
+        assert mag.shape[0] == t
+        feats.append(np.asarray(mag))
+    units = conv.encode_units(feats)
+    for f, u in zip(feats, units):
+        # exact-length baseline, including the program's bf16 wire rounding
+        xe = jnp.asarray(f)[None].astype(jnp.bfloat16).astype(jnp.float32)
+        exact = np.asarray(hard_units(conv.encoder.apply(state.enc, xe)))[0]
+        np.testing.assert_array_equal(u, exact[: f.shape[0] // h.downsample])

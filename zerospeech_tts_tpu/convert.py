@@ -197,17 +197,34 @@ class Converter:
 
     # ------------------------------------------------------------- buckets
 
+    # Minimum nonzero bucket padding, in input frames. The encoder's widest
+    # conv (bank kernel 8) reads 4 rows past the true boundary; with >= 4
+    # pad rows those reads land in the mirror-filled region (exact
+    # reflect values) rather than the static bucket-edge reflection, which
+    # is what makes padded encoding bit-identical to exact-length encoding
+    # (see models/encoder.py). pad == 0 is also exact (the static edge IS
+    # the true boundary).
+    _MIN_PAD = 4
+
     def _bucket_of(self, t: int) -> int:
         """Bucket (padded frame count) for a true frame count ``t``:
         smallest fitted edge >= t when fit_buckets() ran, else uniform
-        ceil-to-bucket_frames quantization."""
+        ceil-to-bucket_frames quantization. Buckets leaving 1..3 pad frames
+        are bumped up so padding is always 0 or >= _MIN_PAD (exactness
+        precondition of the length-masked encoder)."""
         if self.bucket_edges:
-            j = int(np.searchsorted(np.asarray(self.bucket_edges), t))
-            if j < len(self.bucket_edges):
-                return self.bucket_edges[j]
+            edges = self.bucket_edges
+            j = int(np.searchsorted(np.asarray(edges), t))
+            while j < len(edges):
+                if edges[j] == t or edges[j] - t >= self._MIN_PAD:
+                    return edges[j]
+                j += 1
             # longer than anything fitted (out-of-plan utterance): fall back
             # to uniform quantization so the program still exists
-        return -(-t // self.bucket_frames) * self.bucket_frames
+        tb = -(-t // self.bucket_frames) * self.bucket_frames
+        if 0 < tb - t < self._MIN_PAD:
+            tb += self.bucket_frames
+        return tb
 
     def fit_buckets(self, frame_lengths, max_buckets: int) -> list[int]:
         """Fit adaptive bucket edges to an observed utterance length
@@ -245,9 +262,15 @@ class Converter:
                 gl_method = "pallas_seq"
         return gl_method
 
-    def _convert_core(self, enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method):
+    def _convert_core(
+        self, enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method, tlens=None
+    ):
         """Shared traced tail of every conversion program: normalized f32
-        features [B, T, F] -> (bit-packed units, per-target PCM16)."""
+        features [B, T, F] -> (bit-packed units, per-target PCM16).
+
+        ``tlens`` ([B] int32 true frame counts) drives the length-masked
+        encoder/decoder so bucket padding never changes the true frames'
+        units or audio (the reference converts batch-1 at exact length)."""
         acfg = self.acfg
         cd, ed = self.compute_dtype, self.encoder_dtype
         if ed != jnp.float32:
@@ -258,7 +281,8 @@ class Converter:
             dec_params = jax.tree.map(
                 lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
             )
-        logits = self.encoder.apply(enc_params, x.astype(ed)).astype(jnp.float32)
+        zlens = None if tlens is None else (tlens + self.hps.downsample - 1) // self.hps.downsample
+        logits = self.encoder.apply(enc_params, x.astype(ed), lengths=tlens).astype(jnp.float32)
         # mode-aware (ref enc_mode switch): the dumped 0/1 rows AND the
         # decode latent follow hps.enc_mode — for the default "binary"
         # both equal the thresholded MBV bits (bit-identical to before);
@@ -278,7 +302,7 @@ class Converter:
         seq = gl_method == "pallas_seq"  # lax.map: the kernel must never be vmapped
 
         def decode_one(spk_row, mean_row, std_row):
-            xh = self.decoder.apply(dec_params, z, spk_row).astype(jnp.float32)
+            xh = self.decoder.apply(dec_params, z, spk_row, lengths=zlens).astype(jnp.float32)
             xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
             voc = lambda m: vocoder(  # noqa: E731
                 m, acfg, n_iters=self.gl_iters, method="pallas" if seq else gl_method
@@ -327,19 +351,22 @@ class Converter:
             return cached
         gl_method = self._gl_method(n_frames)
 
-        def run(enc_params, dec_params, x, spk, tgt_mean, tgt_std, wire_lo, wire_scale):
+        def run(enc_params, dec_params, x, spk, tgt_mean, tgt_std, wire_lo, wire_scale, tlens):
             # spk: [n_targets, B] — encode once, decode per target (features
             # cross the tunnel once for ALL targets). tgt_mean/std:
             # [n_targets, n_feat] per-speaker denorm (identity when
             # speaker_norm is off). wire_lo/wire_scale: [B] per-utterance
             # uint8 dequantization (unused constants on the bf16 wire).
+            # tlens: [B] true frame counts (padding-invariant encoding).
             cd = self.compute_dtype
             if x.dtype == jnp.uint8:
                 x = (
                     x.astype(cd) * wire_scale[:, None, None].astype(cd)
                     + wire_lo[:, None, None].astype(cd)
                 )
-            return self._convert_core(enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method)
+            return self._convert_core(
+                enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method, tlens
+            )
 
         prog = jax.jit(run)
         self._progs[(n_frames, self.wire)] = prog
@@ -365,14 +392,19 @@ class Converter:
         # under the per-utterance vmap of a batched program
         fe_method = dsp_audio.resolve_method(acfg, None)
 
-        def run(enc_params, dec_params, pcm, spk, src_mean, src_std, tgt_mean, tgt_std):
+        def run(enc_params, dec_params, pcm, spk, src_mean, src_std, tgt_mean, tgt_std, slens):
+            # slens: [B] true SAMPLE counts — exact tail reflection in the
+            # frontend plus padding-invariant encode/decode downstream
             y = self._pcm_wire_expand(pcm)
             mel, mag = jax.vmap(
-                lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
-            )(y)
+                lambda w, sl: dsp_audio.wav_to_features(w, acfg, method=fe_method, length=sl)
+            )(y, slens)
             x = mag if self.feat == "lin" else mel
             x = (x - src_mean[:, None, :]) / src_std[:, None, :]
-            return self._convert_core(enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method)
+            tlens = 1 + slens // acfg.hop_length
+            return self._convert_core(
+                enc_params, dec_params, x, spk, tgt_mean, tgt_std, gl_method, tlens
+            )
 
         prog = jax.jit(run)
         self._wav_progs[n_frames] = prog
@@ -429,14 +461,15 @@ class Converter:
         if cached is not None:
             return cached
 
-        def run(enc_params, x, wire_lo, wire_scale):
+        def run(enc_params, x, wire_lo, wire_scale, tlens):
             if x.dtype == jnp.uint8:
                 x = (
                     x.astype(jnp.float32) * wire_scale[:, None, None]
                     + wire_lo[:, None, None]
                 )
             units = unit_bits(
-                self.encoder.apply(enc_params, x.astype(jnp.float32)), self.hps.enc_mode
+                self.encoder.apply(enc_params, x.astype(jnp.float32), lengths=tlens),
+                self.hps.enc_mode,
             )
             return jnp.packbits(units.astype(jnp.uint8), axis=-1)
 
@@ -453,14 +486,17 @@ class Converter:
         acfg = self.acfg
         fe_method = dsp_audio.resolve_method(acfg, None)
 
-        def run(enc_params, pcm, src_mean, src_std):
+        def run(enc_params, pcm, src_mean, src_std, slens):
             y = self._pcm_wire_expand(pcm)
             mel, mag = jax.vmap(
-                lambda w: dsp_audio.wav_to_features(w, acfg, method=fe_method)
-            )(y)
+                lambda w, sl: dsp_audio.wav_to_features(w, acfg, method=fe_method, length=sl)
+            )(y, slens)
             x = mag if self.feat == "lin" else mel
             x = (x - src_mean[:, None, :]) / src_std[:, None, :]
-            units = unit_bits(self.encoder.apply(enc_params, x), self.hps.enc_mode)
+            tlens = 1 + slens // acfg.hop_length
+            units = unit_bits(
+                self.encoder.apply(enc_params, x, lengths=tlens), self.hps.enc_mode
+            )
             return jnp.packbits(units.astype(jnp.uint8), axis=-1)
 
         prog = jax.jit(run)
@@ -505,16 +541,21 @@ class Converter:
                 pcm = self._pcm_wire_batch(n_samp)
                 sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
                 ss = np.ones((self.batch_size, hps.n_feat), np.float32)
+                sl = np.full(self.batch_size, n_samp, np.int32)  # dummies act full-length
                 for j, i in enumerate(chunk):
                     w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
-                x, sm_d, ss_d = jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)
+                    sl[j] = len(w)
+                x, sm_d, ss_d, sl_d = (
+                    jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss), jnp.asarray(sl),
+                )
                 if self.mesh is not None:  # same DP layout as convert_wavs_multi
                     x = jax.device_put(x, self._batch_sharding)
                     sm_d = jax.device_put(sm_d, self._batch_sharding)
                     ss_d = jax.device_put(ss_d, self._batch_sharding)
-                inflight.append((chunk, prog(self.enc_params, x, sm_d, ss_d)))
+                    sl_d = jax.device_put(sl_d, self._batch_sharding)
+                inflight.append((chunk, prog(self.enc_params, x, sm_d, ss_d, sl_d)))
         for chunk, packed_d in inflight:
             units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : hps.emb_size]
             for j, i in enumerate(chunk):
@@ -547,14 +588,18 @@ class Converter:
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
                 xs = [self._pad_frames(feats_list[i]) for i in chunk]
+                tl = np.full(self.batch_size, tb, np.int32)
+                tl[: len(chunk)] = [feats_list[i].shape[0] for i in chunk]
                 while len(xs) < self.batch_size:
                     xs.append(np.zeros_like(xs[0]))
                 x, wlo, wscale = self._wire_batch(xs)
+                tl_d = jnp.asarray(tl)
                 if self.mesh is not None:  # same DP layout as convert_features_multi
                     x = jax.device_put(x, self._batch_sharding)
                     wlo = jax.device_put(wlo, self._batch_sharding)
                     wscale = jax.device_put(wscale, self._batch_sharding)
-                inflight.append((chunk, prog(self.enc_params, x, wlo, wscale)))
+                    tl_d = jax.device_put(tl_d, self._batch_sharding)
+                inflight.append((chunk, prog(self.enc_params, x, wlo, wscale, tl_d)))
         for chunk, packed_d in inflight:
             units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : self.hps.emb_size]
             for j, i in enumerate(chunk):
@@ -622,19 +667,23 @@ class Converter:
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
                 xs = [self._pad_frames(feats_list[i]) for i in chunk]
+                tl = np.full(self.batch_size, tb, np.int32)
+                tl[: len(chunk)] = [feats_list[i].shape[0] for i in chunk]
                 while len(xs) < self.batch_size:  # pad batch with dummies
                     xs.append(np.zeros_like(xs[0]))
                 x, wlo, wscale = self._wire_batch(xs)
+                tl_d = jnp.asarray(tl)
                 if self.mesh is not None:
                     x = jax.device_put(x, self._batch_sharding)
                     wlo = jax.device_put(wlo, self._batch_sharding)
                     wscale = jax.device_put(wscale, self._batch_sharding)
+                    tl_d = jax.device_put(tl_d, self._batch_sharding)
                 inflight.append(
                     (
                         chunk,
                         *prog(
                             self.enc_params, self.dec_params, x, jnp.asarray(spk_mat),
-                            t_mean_d, t_std_d, wlo, wscale,
+                            t_mean_d, t_std_d, wlo, wscale, tl_d,
                         ),
                     )
                 )
@@ -715,21 +764,26 @@ class Converter:
                 pcm = self._pcm_wire_batch(n_samp)
                 sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
                 ss = np.ones((self.batch_size, hps.n_feat), np.float32)
+                sl = np.full(self.batch_size, n_samp, np.int32)
                 for j, i in enumerate(chunk):
                     w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w
                     sm[j], ss[j] = s_mean[i], s_std[i]
-                x, sm_d, ss_d = jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss)
+                    sl[j] = len(w)
+                x, sm_d, ss_d, sl_d = (
+                    jnp.asarray(pcm), jnp.asarray(sm), jnp.asarray(ss), jnp.asarray(sl),
+                )
                 if self.mesh is not None:
                     x = jax.device_put(x, self._batch_sharding)
                     sm_d = jax.device_put(sm_d, self._batch_sharding)
                     ss_d = jax.device_put(ss_d, self._batch_sharding)
+                    sl_d = jax.device_put(sl_d, self._batch_sharding)
                 inflight.append(
                     (
                         chunk,
                         *prog(
                             self.enc_params, self.dec_params, x, jnp.asarray(spk_mat),
-                            sm_d, ss_d, t_mean_d, t_std_d,
+                            sm_d, ss_d, t_mean_d, t_std_d, sl_d,
                         ),
                     )
                 )

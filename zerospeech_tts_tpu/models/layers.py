@@ -21,6 +21,24 @@ def reflect_pad_time(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (lpad, rpad), (0, 0)), mode="reflect")
 
 
+def mirror_fill_time(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Replace rows at/after each row's true ``length`` with the
+    edge-excluded reflection of its true rows (np.pad 'reflect' indices,
+    exact at any fold depth).
+
+    [B, T, C] + lengths [B] -> [B, T, C]. Convs over the result see, at
+    every true row, exactly the context that reflect-padded exact-length
+    processing would see — the key to padding-invariant encodings in
+    length-bucketed batches (the reference converts batch-1 at exact
+    length, ref convert.py per SURVEY.md §3.4)."""
+    t = x.shape[1]
+    L = jnp.maximum(jnp.asarray(lengths, jnp.int32)[:, None], 2)
+    period = 2 * (L - 1)
+    m = jnp.arange(t, dtype=jnp.int32)[None, :] % period
+    j = jnp.minimum(m, period - m)
+    return jnp.take_along_axis(x, j[:, :, None], axis=1)
+
+
 def pixel_shuffle_1d(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """[B, T, C*r] -> [B, T*r, C] sub-pixel temporal upsample
     (ref pixel_shuffle_1d, the decoder's upsampling primitive)."""
@@ -88,7 +106,7 @@ class GRU(nn.Module):
     unroll: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         h = self.hidden
         b, t, _ = x.shape
         # input projections for r, z, n gates in one shot
@@ -99,18 +117,39 @@ class GRU(nn.Module):
         if self.reverse:
             xw = jnp.flip(xw, axis=1)
 
-        def step(hprev, xw_t):
+        def cell(hprev, xw_t):
             hw = hprev @ wh + bh
             xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
             hr, hz, hn = jnp.split(hw, 3, axis=-1)
             r = jax.nn.sigmoid(xr + hr)
             z = jax.nn.sigmoid(xz + hz)
             n = jnp.tanh(xn + r * hn)
-            hnew = (1.0 - z) * n + z * hprev
-            return hnew, hnew
+            return (1.0 - z) * n + z * hprev
 
         h0 = jnp.zeros((b, h), x.dtype)
-        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1), unroll=self.unroll)
+        if self.reverse and lengths is not None:
+            # padded buckets: a reversed scan would feed pad-row state into
+            # every true row (unbounded receptive field). Pass h through
+            # unchanged until each row's true tail, so the first REAL step
+            # sees h0 exactly like an exact-length (batch-1 reference) run.
+            pos = jnp.arange(t - 1, -1, -1, dtype=jnp.int32)  # position per scan step
+            valid = pos[:, None] < jnp.asarray(lengths, jnp.int32)[None, :]  # [T, B]
+
+            def step_masked(hprev, inp):
+                xw_t, v = inp
+                hnew = jnp.where(v[:, None], cell(hprev, xw_t), hprev)
+                return hnew, hnew
+
+            _, ys = jax.lax.scan(
+                step_masked, h0, (jnp.swapaxes(xw, 0, 1), valid), unroll=self.unroll
+            )
+        else:
+
+            def step(hprev, xw_t):
+                hnew = cell(hprev, xw_t)
+                return hnew, hnew
+
+            _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1), unroll=self.unroll)
         ys = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
         if self.reverse:
             ys = jnp.flip(ys, axis=1)
@@ -118,13 +157,20 @@ class GRU(nn.Module):
 
 
 class BiGRU(nn.Module):
-    """Bidirectional GRU (forward + reversed GRU, concatenated)."""
+    """Bidirectional GRU (forward + reversed GRU, concatenated).
+
+    ``lengths`` (optional, [B] true row counts) masks the BACKWARD scan so
+    bucket padding cannot leak into true rows; the forward scan needs no
+    mask (padding follows the true rows)."""
 
     hidden: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         return jnp.concatenate(
-            [GRU(self.hidden, name="fwd")(x), GRU(self.hidden, reverse=True, name="bwd")(x)],
+            [
+                GRU(self.hidden, name="fwd")(x),
+                GRU(self.hidden, reverse=True, name="bwd")(x, lengths=lengths),
+            ],
             axis=-1,
         )
