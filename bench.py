@@ -62,8 +62,63 @@ def _numpy_reference_gl(mag: np.ndarray, cfg, n_iters: int) -> np.ndarray:
     return istft(spec)
 
 
+_PROBE_SNIPPET = (
+    "import os, jax\n"
+    "p = os.environ.get('JAX_PLATFORMS', '')\n"
+    "if p: jax.config.update('jax_platforms', p.split(',')[0])\n"
+    "print(jax.devices()[0].platform)\n"
+)
+
+
+def _probe_devices(timeout_s: float = 300.0) -> str | None:
+    """Initialize the JAX backend in a THROWAWAY subprocess first.
+
+    On this deployment the TPU tunnel can be down, and backend init then
+    BLOCKS forever rather than raising. A probe that hangs is killed at
+    ``timeout_s`` and the bench fails soft with a recorded error line
+    instead of hanging the driver. Returns the platform name, or None."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _PROBE_SNIPPET],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if p.returncode != 0 or not p.stdout.strip():
+        return None
+    return p.stdout.strip().splitlines()[-1]
+
+
 def main():
+    plat_probe = _probe_devices()
+    if plat_probe is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "corpus_conversion_throughput",
+                    "value": None,
+                    "unit": "utt/s/chip",
+                    "vs_baseline": None,
+                    "error": (
+                        "JAX backend init failed or hung (device tunnel "
+                        "down?) — bench aborted fail-soft before first "
+                        "device use"
+                    ),
+                }
+            )
+        )
+        return
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the env var alone does not stop plugin platforms from hanging at
+        # init when mis-set; the config update is authoritative
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"].split(",")[0])
 
     # persistent compile cache: the bench's wall time is compile-dominated
     # (batch-16 GL-100 program + train_many); repeat runs skip it entirely
