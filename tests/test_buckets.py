@@ -16,18 +16,29 @@ import pytest
 from zerospeech_tts_tpu.convert import Converter, plan_buckets
 
 
+MIN_PAD = Converter._MIN_PAD  # padding-invariance constraint: pad 0 or >= 4
+
+
+def _quant(t, q):
+    """ceil-to-quantum with the min-pad bump (mirrors plan_buckets/_bucket_of)."""
+    e = -(-t // q) * q
+    while 0 < e - t < MIN_PAD:
+        e += q
+    return e
+
+
 def _waste(lengths, edges):
     edges = sorted(edges)
     total = 0
     for t in lengths:
-        e = next((e for e in edges if e >= t), None)
+        e = next((e for e in edges if e == t or e - t >= MIN_PAD), None)
         assert e is not None, f"no edge covers {t}"
         total += e - t
     return total
 
 
 def _brute_force(lengths, k, q):
-    cands = sorted({-(-t // q) * q for t in lengths})
+    cands = sorted({_quant(t, q) for t in lengths})
     best = None
     for r in range(1, min(k, len(cands)) + 1):
         for sub in itertools.combinations(cands, r):
@@ -54,7 +65,7 @@ def test_plan_buckets_never_worse_than_uniform():
     rng = np.random.default_rng(1)
     lengths = (rng.uniform(1, 8, size=64) * 80).astype(int).tolist()  # ~1-8s at 80 fr/s
     bucket_frames = 256
-    uniform_edges = sorted({-(-t // bucket_frames) * bucket_frames for t in lengths})
+    uniform_edges = sorted({_quant(t, bucket_frames) for t in lengths})
     # same program budget, edges on the finer 64-frame grid
     edges = plan_buckets(lengths, len(uniform_edges), 64)
     assert _waste(lengths, edges) <= _waste(lengths, uniform_edges)
@@ -92,7 +103,7 @@ def test_fitted_converter_converts_and_respects_plan(tiny_hps):
     units, wavs = conv.convert_features_multi(feats, [0, 1])
     ds, hop = h.downsample, acfg.hop_length
     for t, u in zip(lengths, units):
-        assert u.shape == (t // ds, h.emb_size)
+        assert u.shape == (-(-t // ds), h.emb_size)  # ceil: all latent rows dumped
         assert set(np.unique(u)) <= {0, 1}
     for k in range(2):
         for t, w in zip(lengths, wavs[k]):

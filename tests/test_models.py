@@ -234,7 +234,10 @@ def test_converter_units_padding_invariant(tiny_hps):
         feats.append(np.asarray(mag))
     units = conv.encode_units(feats)
     for f, u in zip(feats, units):
-        # exact-length baseline, including the program's bf16 wire rounding
+        # exact-length baseline, including the program's bf16 wire rounding;
+        # the dump has ceil(t/ds) rows — ALL of the exact encoder's output,
+        # including the final partial-group unit
         xe = jnp.asarray(f)[None].astype(jnp.bfloat16).astype(jnp.float32)
         exact = np.asarray(hard_units(conv.encoder.apply(state.enc, xe)))[0]
-        np.testing.assert_array_equal(u, exact[: f.shape[0] // h.downsample])
+        assert u.shape[0] == -(-f.shape[0] // h.downsample) == exact.shape[0]
+        np.testing.assert_array_equal(u, exact)

@@ -68,9 +68,14 @@ def read_units(path: str | Path) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int32, ndmin=2)
 
 
-def plan_buckets(frame_lengths, max_buckets: int, quantum: int) -> list[int]:
+def plan_buckets(frame_lengths, max_buckets: int, quantum: int, min_pad: int = 4) -> list[int]:
     """Pick <= max_buckets bucket edges (multiples of ``quantum``) that
     minimize total padded frames for the given utterance length multiset.
+
+    ``min_pad``: plan with the padding-invariance constraint (an utterance
+    may sit at its bucket edge exactly, or must have >= min_pad pad frames
+    — see Converter._MIN_PAD), so the executed plan never falls back to an
+    out-of-plan uniform bucket and the program count stays as fitted.
 
     Uniform quantization (``ceil(t/bucket_frames)*bucket_frames``) wastes
     frames wherever the corpus length histogram is uneven — the recorded
@@ -90,6 +95,11 @@ def plan_buckets(frame_lengths, max_buckets: int, quantum: int) -> list[int]:
         return []
     q = int(quantum)
     quant = -(-ts // q) * q  # ceil to quantum
+    while True:  # bump 1..min_pad-1 pads up a quantum (loops only if q < min_pad)
+        short = (quant > ts) & (quant - ts < int(min_pad))
+        if not short.any():
+            break
+        quant = np.where(short, quant + q, quant)
     vals, inv = np.unique(quant, return_inverse=True)
     m = len(vals)
     cnt = np.bincount(inv, minlength=m).astype(np.int64)
@@ -233,7 +243,9 @@ class Converter:
         count as uniform bucketing with that many occupied buckets, less
         padding. Edges stay multiples of ``bucket_frames`` so shapes remain
         grid-aligned (downsample divides them) and reusable across corpora."""
-        self.bucket_edges = plan_buckets(frame_lengths, max_buckets, self.bucket_frames)
+        self.bucket_edges = plan_buckets(
+            frame_lengths, max_buckets, self.bucket_frames, min_pad=self._MIN_PAD
+        )
         return self.bucket_edges
 
     # ------------------------------------------------------------ programs
@@ -560,7 +572,7 @@ class Converter:
             units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : hps.emb_size]
             for j, i in enumerate(chunk):
                 t_true = dsp_audio.n_frames_for(len(wavs[i]), acfg)
-                out[i] = units[j][: t_true // ds].astype(np.int32)
+                out[i] = units[j][: -(-t_true // ds)].astype(np.int32)
         return out
 
     def encode_units(self, feats_list: list[np.ndarray], src_speakers=None) -> list[np.ndarray]:
@@ -603,7 +615,7 @@ class Converter:
         for chunk, packed_d in inflight:
             units = np.unpackbits(np.asarray(packed_d), axis=-1)[..., : self.hps.emb_size]
             for j, i in enumerate(chunk):
-                out[i] = units[j][: feats_list[i].shape[0] // ds].astype(np.int32)
+                out[i] = units[j][: -(-feats_list[i].shape[0] // ds)].astype(np.int32)
         return out
 
     # ------------------------------------------------------------- helpers
@@ -693,7 +705,7 @@ class Converter:
             units = np.unpackbits(packed, axis=-1)[..., : self.hps.emb_size]
             for j, i in enumerate(chunk):
                 t_true = feats_list[i].shape[0]
-                units_out[i] = units[j][: t_true // ds].astype(np.int32)
+                units_out[i] = units[j][: -(-t_true // ds)].astype(np.int32)
                 for k in range(len(spk_ids)):
                     wavs_out[k][i] = self._pcm_wire_read(pcm[k, j][: max((t_true - 1), 1) * hop])
         return units_out, wavs_out
@@ -793,7 +805,7 @@ class Converter:
             units = np.unpackbits(packed, axis=-1)[..., : hps.emb_size]
             for j, i in enumerate(chunk):
                 t_true = dsp_audio.n_frames_for(len(wavs[i]), acfg)
-                units_out[i] = units[j][: t_true // ds].astype(np.int32)
+                units_out[i] = units[j][: -(-t_true // ds)].astype(np.int32)
                 for k in range(len(spk_ids)):
                     wavs_out[k][i] = self._pcm_wire_read(pcm[k, j][: max(t_true - 1, 1) * hop])
         return units_out, wavs_out
