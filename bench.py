@@ -272,6 +272,41 @@ def main():
         conv_exact = None
 
     # ------------------------------------------------------------------
+    # PADDING INVARIANCE (round 3): bucketed batch units vs an
+    # exact-length encode of the same audio — the reference's batch-1
+    # semantics. Encoder-only programs, so the compiles are cheap next to
+    # anything with Griffin-Lim in it.
+    pad_inv = {}
+    if not quick and budget_left():
+      try:
+        import jax.numpy as _jnp
+
+        from zerospeech_tts_tpu.models import hard_units as _hu
+
+        y_odd = wavs[0][: len(wavs[0]) - 3301]  # force nonzero bucket padding
+        y_q = (
+            np.clip(np.rint(y_odd * 32768.0), -32768, 32767).astype(np.int16)
+        ).astype(np.float32) / 32768.0  # the int16 PCM wire's rounding
+        conv_pi = Converter(
+            hps, acfg, enc_params, dec_params, gl_iters=2, batch_size=1,
+            pcm_wire="int16",
+        )
+        u_b = conv_pi.encode_units_from_wavs([y_odd], trim=False)[0]
+        _, mag_o = dsp_audio.get_spectrograms(y_q, acfg)
+        exact_u = np.asarray(
+            _hu(jax.jit(conv_pi.encoder.apply)(enc_params, _jnp.asarray(mag_o)[None]))
+        )[0]
+        agree = (
+            float((u_b == exact_u).mean()) if u_b.shape == exact_u.shape else 0.0
+        )
+        pad_inv = {
+            "units_padding_invariance_vs_exact_length": round(agree, 4),
+            "padding_invariance_frames": int(mag_o.shape[0]),
+        }
+      except Exception as e:
+        print(f"padding-invariance check failed: {e!r}", file=sys.stderr)
+
+    # ------------------------------------------------------------------
     # DEVICE-RESIDENT (no-wire) throughput + MFU (VERDICT r2 item 1): the
     # compute half of the north-star that survives onto real hardware.
     # Inputs are pre-staged in HBM, outputs left on device; each rep uses
@@ -616,6 +651,7 @@ def main():
                 "units_agreement_vs_f32": round(units_agreement, 4),
                 "mulaw_requantization_snr_db": round(mulaw_requant_snr, 1),
                 **exact,
+                **pad_inv,
                 **device_resident,
                 **mixed,
             }
