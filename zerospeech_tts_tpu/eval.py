@@ -322,16 +322,22 @@ def unit_stability(
             feats.append(arr)
 
     @jax.jit
-    def units_of(enc_params, x):
+    def units_of(enc_params, x, t):
         # mode-aware: the stability metric must read the SAME unit stream
-        # the converter dumps (unit_bits == hard_units for enc_mode=binary)
-        return unit_bits(solver.encoder.apply(enc_params, x[None]), hps.enc_mode)[0]
+        # the converter dumps (unit_bits == hard_units for enc_mode=binary),
+        # with the same length-masked (padding-invariant) encoding
+        return unit_bits(
+            solver.encoder.apply(enc_params, x[None], lengths=jnp.asarray([t])),
+            hps.enc_mode,
+        )[0]
 
     def encode(arr):  # pad to a 256-frame bucket: few compiles, not one per length
         t = arr.shape[0]
         tb = -(-t // 256) * 256
+        if 0 < tb - t < 4:  # the masked encoder's min-pad precondition
+            tb += 256
         padded = np.pad(arr, ((0, tb - t), (0, 0)))
-        return np.asarray(units_of(state.enc, jnp.asarray(padded)))[: t // ds]
+        return np.asarray(units_of(state.enc, jnp.asarray(padded), t))[: t // ds]
 
     agree, n_bits = 0.0, 0
     for arr in feats:
