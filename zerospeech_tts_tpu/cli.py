@@ -208,6 +208,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
                    metavar="STEP|DIR", help="checkpoint selection (see convert)")
 
+    p = sub.add_parser(
+        "submission",
+        help="package `zstts convert` results into a ZeroSpeech challenge "
+             "archive (metadata.yaml + <lang>/test/{txt,wav}), or validate one",
+    )
+    p.add_argument("-hps", "--hps", default=str(DEFAULT_HPS_PATH),
+                   help="hps JSON (sets the latent frame duration for bitrate)")
+    p.add_argument("--lang", action="append", default=None,
+                   metavar="NAME=RESULT_DIR:TARGET",
+                   help="language -> convert result dir + submitted target "
+                        "voice, e.g. english=out:V001 (repeatable)")
+    p.add_argument("-o", "--out", default="submission.zip", help="archive path")
+    p.add_argument("--validate", default=None, metavar="ZIP",
+                   help="validate an existing archive instead of building")
+    p.add_argument("--author", default=None)
+    p.add_argument("--affiliation", default=None)
+    p.add_argument("--system-description", default=None)
+    p.add_argument("--auxiliary1", default=None, help="auxiliary embedding 1 description")
+    p.add_argument("--auxiliary2", default=None, help="auxiliary embedding 2 description")
+    p.add_argument("--parallel-data", action="store_true",
+                   help="declare the system used parallel training data")
+    p.add_argument("--external-data", action="store_true",
+                   help="declare the system used external (non-challenge) data")
+
     p = sub.add_parser("convert-single", help="single-utterance VC (ref --test_single)")
     _common(p)
     p.add_argument("-dataset_path", "--dataset_path", default=None, help="h5 (for speaker map)")
@@ -757,6 +781,49 @@ def cmd_export(args):
     print(json.dumps(out))
 
 
+def cmd_submission(args):
+    # pure host-side file tool: no JAX, no platform setup
+    from zerospeech_tts_tpu.submission import build_submission, validate_submission
+
+    hps, acfg = load_configs(args.hps)
+    frame_seconds = acfg.hop_length * hps.downsample / acfg.sr
+    if args.validate:
+        report = validate_submission(args.validate, frame_seconds=frame_seconds, sr=acfg.sr)
+    else:
+        if not args.lang:
+            sys.exit("pass --lang NAME=RESULT_DIR:TARGET at least once (or --validate ZIP)")
+        langs = {}
+        for spec in args.lang:
+            try:
+                name, rest = spec.split("=", 1)
+                result_dir, target = rest.rsplit(":", 1)
+            except ValueError:
+                sys.exit(f"bad --lang spec {spec!r}: want NAME=RESULT_DIR:TARGET")
+            langs[name] = (result_dir, target)
+        meta = {
+            k: v
+            for k, v in (
+                ("author", args.author),
+                ("affiliation", args.affiliation),
+                ("system description", args.system_description),
+                ("auxiliary1 description", args.auxiliary1),
+                ("auxiliary2 description", args.auxiliary2),
+            )
+            if v is not None
+        }
+        if args.parallel_data:
+            meta["system uses parallel data"] = True
+        if args.external_data:
+            meta["system uses external data"] = True
+        report = build_submission(
+            args.out, langs, metadata=meta, frame_seconds=frame_seconds, sr=acfg.sr
+        )
+        report["archive"] = args.out
+    print(json.dumps(report, indent=2))
+    if not report["ok"]:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     {
@@ -768,6 +835,7 @@ def main(argv=None) -> None:
         "eval": cmd_eval,
         "serve": cmd_serve,
         "export": cmd_export,
+        "submission": cmd_submission,
     }[args.cmd](args)
 
 
