@@ -101,14 +101,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _gl_packed(cfg: AudioConfig) -> bool:
+    """Real-FFT Nyquist packing: with an even n_fft the DC and Nyquist bins
+    are purely real (their sin analysis columns / synthesis rows are exact
+    zeros up to ~1e-13 construction residue), so the Nyquist bin folds into
+    the imaginary channel of column 0 and the matmul lane width becomes
+    F-1 instead of F rounded up to the next 128 multiple. For the flagship
+    1024-FFT that is 512 lanes instead of 640 — 20% fewer MXU cycles on
+    EVERY Griffin-Lim matmul (the kernel is ~93% of conversion FLOPs).
+    Enabled only when F-1 is itself 128-aligned so the Nyquist magnitude
+    (kept at its original column F-1 = first padded lane) stays on an
+    aligned lane-slice boundary."""
+    f = cfg.n_fft // 2 + 1
+    return cfg.n_fft % 2 == 0 and f > 128 and (f - 1) % 128 == 0
+
+
 @functools.lru_cache(maxsize=8)
 def _gl_constants(cfg: AudioConfig):
     """Per-hop-block bf16 bases: analysis ca_k/sa_k [hop, fp] stacked on a
-    leading r axis, synthesis cs_k/ss_k [fp, hop] likewise."""
+    leading r axis, synthesis cs_k/ss_k [fp, hop] likewise. In packed mode
+    (see _gl_packed) column/row 0 of the sin bases carries the Nyquist
+    bin's cos basis and fp == F-1."""
     ca, sa, cs, ss = dsp_audio._fused_bases(cfg)  # [win,F], [F,win]
     win, f = ca.shape
     hop = cfg.hop_length
     r = win // hop
+    if _gl_packed(cfg):
+        assert np.allclose(sa[:, 0], 0, atol=1e-6) and np.allclose(sa[:, f - 1], 0, atol=1e-6)
+        assert np.allclose(ss[0], 0, atol=1e-6) and np.allclose(ss[f - 1], 0, atol=1e-6)
+        sa = np.concatenate([ca[:, f - 1 : f], sa[:, 1 : f - 1]], axis=1)
+        ss = np.concatenate([cs[f - 1 : f], ss[1 : f - 1]], axis=0)
+        ca, cs = ca[:, : f - 1], cs[: f - 1]
+        f -= 1
     fp = _round_up(f, 128)
 
     def padf(m, shape):
@@ -137,10 +161,50 @@ def _wss_inv_compact(cfg: AudioConfig):
     return inv[: r - 1], inv[r - 1 : r], inv[t0:]
 
 
+def _nyq_col(m, fp):
+    """[ts, fp] array whose column 0 is mag column F-1 (the Nyquist
+    magnitude rides in the first lane past the packed width — an aligned
+    128-lane slice); all other columns are don't-care."""
+    return jnp.pad(m[:, fp : fp + 128], ((0, 0), (0, fp - 128)))
+
+
+def _proj_pair(m, re, im, packed):
+    """Magnitude projection -> (sre, sim) bf16 synthesis operands. In the
+    packed real-FFT layout column 0 of (re, im) carries two INDEPENDENT
+    real bins — DC in re, Nyquist in im — so each projects against its own
+    magnitude (mag columns 0 and F-1) with its own norm; every other
+    column is an ordinary complex bin with the shared Euclidean norm."""
+    bf = jnp.bfloat16
+    if not packed:
+        norm = jnp.maximum(jnp.sqrt(re * re + im * im), 1e-8)
+        return (m * re / norm).astype(bf), (m * im / norm).astype(bf)
+    fp = re.shape[-1]
+    mre = m[:, :fp]
+    n2 = re * re + im * im
+    col0 = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1) == 0
+    nre = jnp.maximum(jnp.sqrt(jnp.where(col0, re * re, n2)), 1e-8)
+    nim = jnp.maximum(jnp.sqrt(jnp.where(col0, im * im, n2)), 1e-8)
+    mim = jnp.where(col0, _nyq_col(m, fp), mre)
+    return (mre * re / nre).astype(bf), (mim * im / nim).astype(bf)
+
+
+def _init_pair(m, fp, packed):
+    """Zero-phase init operands: spec = mag + 0i. Packed: the Nyquist
+    magnitude enters through the imaginary channel's column 0 (its
+    synthesis row lives in ss), so the init sweep pays the im matmul."""
+    bf = jnp.bfloat16
+    if not packed:
+        return m.astype(bf), None
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (m.shape[0], fp), 1) == 0
+    sim = jnp.where(col0, _nyq_col(m, fp), 0.0)
+    return m[:, :fp].astype(bf), sim.astype(bf)
+
+
 def _gl_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
              out_ref, v_ref, u_ref, acc_ref, magbuf_ref, sem_ref,
-             *, n_iters, r, hop, t, tiles, alpha):
+             *, n_iters, r, hop, t, tiles, alpha, packed):
     bf = jnp.bfloat16
+    fp = ca_ref.shape[2]
     streaming = magbuf_ref is not None
 
     def synth_tile(j0, ts, sre16, sim16):
@@ -208,14 +272,13 @@ def _gl_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
 
         def project_tile(j0, ts, m):
             re, im = analyze_tile(x16, j0, ts)
-            norm = jnp.maximum(jnp.sqrt(re * re + im * im), 1e-8)
-            synth_tile(j0, ts, (m * re / norm).astype(bf), (m * im / norm).astype(bf))
+            synth_tile(j0, ts, *_proj_pair(m, re, im, packed))
 
         foreach_mag_tile(project_tile)
 
     # v_1 = u_0 = istft(mag, zero phase)
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    foreach_mag_tile(lambda j0, ts, m: synth_tile(j0, ts, m.astype(bf), None))
+    foreach_mag_tile(lambda j0, ts, m: synth_tile(j0, ts, *_init_pair(m, fp, packed)))
     v_ref[:] = normalized(acc_ref)
     u_ref[:] = v_ref[:]
 
@@ -257,7 +320,7 @@ def _gl_v4_constants(cfg: AudioConfig):
 def _gl_v4_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
                 out_ref, v_ref, u_ref,
                 magbuf, vbuf, uprev, w1buf, w2buf, sem_ref,
-                *, n_iters, r, t, t_pad, tb, alpha):
+                *, n_iters, r, t, t_pad, tb, alpha, packed):
     """GL v4 — unbounded-length streaming: v/u signal carries live in HBM
     (kernel OUTPUTS in ANY space) and every sweep runs a dynamic fori_loop
     over frame tiles, DMAing per tile: v rows [j0, j0+tb+r-1) in for
@@ -340,10 +403,9 @@ def _gl_v4_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_r
                     seg = jax.lax.slice(x16, (k, 0), (k + tb, hp))
                     re += jnp.dot(seg, ca_ref[k], preferred_element_type=jnp.float32)
                     im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32)
-                norm = jnp.maximum(jnp.sqrt(re * re + im * im), 1e-8)
-                sre, sim = (m * re / norm).astype(bf), (m * im / norm).astype(bf)
+                sre, sim = _proj_pair(m, re, im, packed)
             else:
-                sre, sim = m.astype(bf), None
+                sre, sim = _init_pair(m, fp, packed)
             accj = synth(sre, sim)  # [tb + r - 1, hp]
             accj = jnp.pad(accj, ((0, ep - (r - 1)), (0, 0)))  # -> [tb + ep, hp]
             # fold the previous tile's overlap rows in (scatter-free and
@@ -396,8 +458,12 @@ def griffin_lim_pallas(
     r = cfg.win_length // hop
     ca_k, sa_k, cs_k, ss_k = _gl_constants(cfg)
     fp = ca_k.shape[2]
-    if f < fp:
-        mag = jnp.pad(mag, ((0, 0), (0, fp - f)))
+    packed = _gl_packed(cfg)
+    # packed: mag keeps all F columns, zero-padded to fp+128 lanes so the
+    # Nyquist magnitude (column F-1 == fp) starts an aligned 128-lane slice
+    fm = fp + 128 if packed else fp
+    if f < fm:
+        mag = jnp.pad(mag, ((0, 0), (0, fm - f)))
     wih, wim, wit = (jnp.asarray(w) for w in _wss_inv_compact(cfg))
 
     if t > MAX_FRAMES:  # v4: HBM signal carries, dynamic tile loop
@@ -411,7 +477,7 @@ def griffin_lim_pallas(
         kernel = functools.partial(
             _gl_v4_body,
             n_iters=n_iters, r=r, t=t, t_pad=t_pad, tb=tb,
-            alpha=cfg.gl_momentum,
+            alpha=cfg.gl_momentum, packed=packed,
         )
         sds = jax.ShapeDtypeStruct((rows_pad, hp), jnp.float32)
         out, _v, _u = pl.pallas_call(
@@ -421,7 +487,7 @@ def griffin_lim_pallas(
             out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 3,
             out_shape=(sds, sds, sds),  # out + the v/u HBM carries
             scratch_shapes=[
-                pltpu.VMEM((tb, fp), jnp.float32),          # mag tile
+                pltpu.VMEM((tb, fm), jnp.float32),          # mag tile
                 pltpu.VMEM((tb + ep, hp), jnp.float32),     # v rows in
                 pltpu.VMEM((tb, hp), jnp.float32),          # u_prev in
                 pltpu.VMEM((tb, hp), jnp.float32),          # u/out staging
@@ -446,7 +512,8 @@ def griffin_lim_pallas(
     tiles = tuple((j0, min(tb, t - j0)) for j0 in range(0, t, tb))
     rows = t - 1 + r
 
-    kernel_kw = dict(n_iters=n_iters, r=r, hop=hop, t=t, tiles=tiles, alpha=cfg.gl_momentum)
+    kernel_kw = dict(n_iters=n_iters, r=r, hop=hop, t=t, tiles=tiles,
+                     alpha=cfg.gl_momentum, packed=packed)
     scratch = [
         pltpu.VMEM((rows, hop), jnp.float32),  # v: istft(c_i)
         pltpu.VMEM((rows, hop), jnp.float32),  # u: istft(n_{i-1})
@@ -456,7 +523,7 @@ def griffin_lim_pallas(
         kernel = functools.partial(_kernel_stream, **kernel_kw)
         mag_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
         scratch += [
-            pltpu.VMEM((2, tb, fp), jnp.float32),  # double-buffered mag tiles
+            pltpu.VMEM((2, tb, fm), jnp.float32),  # double-buffered mag tiles
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
