@@ -202,6 +202,45 @@ def test_pallas_gl_v4_unbounded_matches_xla():
         assert abs(cp - cx) < 0.02, (t_target, cp, cx)
 
 
+def test_pallas_gl_packed_matches_unpacked(monkeypatch):
+    """Nyquist packing (real-FFT fold of the Nyquist bin into the sin
+    channel's column 0) is a pure layout transform: the kernel's output
+    must match the unpacked layout on the same magnitudes to float
+    tolerance. (Not bit-exact: unpacked normalizes the two real bins by
+    sqrt(re^2+im^2) with |im| ~ 1e-13 construction residue, packed by the
+    exact |re|.)"""
+    from zerospeech_tts_tpu.ops import pallas_gl
+
+    cfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20)
+    assert pallas_gl._gl_packed(cfg)  # F=129 -> F-1=128 is lane-aligned
+    t = 96
+    n = (t - 1) * cfg.hop_length
+    rng = np.random.default_rng(7)
+    y = (0.5 * np.sin(2 * np.pi * 330 * np.arange(n) / 16000)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    re, im = A.stft(jnp.asarray(y), cfg, method="fused")
+    mag = jnp.sqrt(re**2 + im**2)
+
+    def run():
+        pallas_gl._gl_constants.cache_clear()
+        pallas_gl._gl_v4_constants.cache_clear()
+        pallas_gl.griffin_lim_pallas.clear_cache()
+        return np.asarray(pallas_gl.griffin_lim_pallas(mag, cfg, n_iters=4, interpret=True))
+
+    try:
+        out_packed = run()
+        monkeypatch.setattr(pallas_gl, "_gl_packed", lambda c: False)
+        out_unpacked = run()
+    finally:
+        monkeypatch.undo()
+        pallas_gl._gl_constants.cache_clear()
+        pallas_gl._gl_v4_constants.cache_clear()
+        pallas_gl.griffin_lim_pallas.clear_cache()
+
+    scale = max(float(np.abs(out_unpacked).max()), 1e-6)
+    np.testing.assert_allclose(out_packed, out_unpacked, atol=2e-3 * scale)
+
+
 def test_converter_pallas_seq_sharded_long_bucket(tiny_hps):
     """Sharded long-bucket conversion keeps the GL kernel (VERDICT r2 item
     7): with a mesh set and frames > the vmap ceiling, the per-utterance
