@@ -234,10 +234,17 @@ def main():
     conv_exact = None
     if not quick and budget_left():
       try:
+        # challenge-exact config: ALL-f32 program + int16 PCM wire. The
+        # Pallas GL kernel (~93% of program FLOPs) uses bf16 MXU matmuls
+        # internally regardless of compute_dtype, so this costs ~0.1%
+        # device-side vs all-bf16. A mixed f32-encoder/bf16-decoder
+        # program was tried and rejected: XLA's global layout/scheduling
+        # makes the f32 encoder's last ulp depend on the decoder's dtype
+        # (~4e-4 of bits flipped vs the all-f32 program; a fusion barrier
+        # on the logits does not prevent it).
         conv_exact = Converter(
             hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
-            batch_size=n_utts, compute_dtype="bfloat16",
-            encoder_dtype="float32", pcm_wire="int16",
+            batch_size=n_utts, compute_dtype="float32", pcm_wire="int16",
         )
         conv_exact.convert_wavs_multi(wavs[:1], [0], trim=False)  # compile
         times_ex = []
@@ -247,24 +254,47 @@ def main():
             times_ex.append(time.perf_counter() - t0)
             print(f"exact pass {p}: {n_utts / times_ex[-1]:.1f} utt/s", file=sys.stderr)
         dt_ex = float(np.median(times_ex))
-        # the f32 oracle: the SAME PCM-in program all-f32 (int16 wire);
-        # units do not depend on gl_iters, so GL-2 keeps the compile small
+        # the f32 oracle: the SAME PCM-in program all-f32 (int16 wire) at
+        # the SAME batch geometry — XLA only guarantees f32 bit-identity
+        # within one program shape (a batch-4 oracle vs the batch-32 exact
+        # program differs by ~4e-4 of bits: ulp noise on near-zero logits,
+        # measured and recorded below as cross-geometry sensitivity).
+        # Units do not depend on gl_iters, so GL-2 keeps the compile small.
         conv_oracle = Converter(
-            hps, acfg, enc_params, dec_params, gl_iters=2, batch_size=n_chk,
+            hps, acfg, enc_params, dec_params, gl_iters=2, batch_size=n_utts,
             compute_dtype="float32", pcm_wire="int16",
         )
         u_oracle, _ = conv_oracle.convert_wavs_multi(wavs[:n_chk], [0], trim=False)
         exact_agree = float(
             np.mean([(a == b).mean() for a, b in zip(u_exact[:n_chk], u_oracle)])
         )
+        # cross-geometry f32 sensitivity: the same all-f32 pipeline at a
+        # DIFFERENT batch shape (an XLA fusion property, not a config one)
+        cross_geo = None
+        try:
+            if not budget_left():
+                raise TimeoutError("bench budget exhausted")
+            conv_oracle_b4 = Converter(
+                hps, acfg, enc_params, dec_params, gl_iters=2, batch_size=n_chk,
+                compute_dtype="float32", pcm_wire="int16",
+            )
+            u_b4, _ = conv_oracle_b4.convert_wavs_multi(wavs[:n_chk], [0], trim=False)
+            cross_geo = float(
+                np.mean([(a == b).mean() for a, b in zip(u_b4, u_oracle)])
+            )
+        except Exception as e:
+            print(f"cross-geometry probe failed: {e!r}", file=sys.stderr)
         # fast-config flips measured against the exact config on ALL utts
         fast_vs_exact = float(
             np.mean([(a == b).mean() for a, b in zip(units_list, u_exact)])
         )
         exact = {
             "utt_per_sec_exact": round(n_utts / dt_ex, 4),
-            "exact_config": "f32 encoder + int16 PCM up-wire, bf16 decode/GL, mu-law down-wire off",
+            "exact_config": "all-f32 program + int16 PCM wire (GL kernel bf16-internal as always)",
             "units_agreement_exact_vs_f32": round(exact_agree, 4),
+            "units_f32_cross_geometry_sensitivity": (
+                round(cross_geo, 4) if cross_geo is not None else None
+            ),
             "units_agreement_fast_vs_exact_all": round(fast_vs_exact, 4),
         }
       except Exception as e:  # keep the headline metric alive

@@ -108,10 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run encoder/decoder matmuls in bfloat16 (2x MXU rate; "
                         "may flip borderline units)")
     p.add_argument("--enc-f32", action="store_true",
-                   help="keep the ENCODER in float32 even under --bf16: with "
-                        "the int16 PCM wire this makes the discrete units "
-                        "bit-identical to the all-f32 path while decode/GL "
-                        "keep the bf16 MXU rate (unit-exact deployment config)")
+                   help="keep the ENCODER in float32 under --bf16: removes "
+                        "nearly all bf16 unit flips, but is NOT bit-identical "
+                        "to the all-f32 program (XLA couples the encoder's "
+                        "last ulp to the decoder dtype). For challenge-exact "
+                        "units drop --bf16 entirely — the Griffin-Lim kernel "
+                        "is bf16-internal either way, so all-f32 costs ~0.1% "
+                        "on-chip")
     p.add_argument("--wire-mulaw", action="store_true",
                    help="8-bit mu-law companding on both PCM wire directions "
                         "(halves the dominant transfer bytes on remote/tunneled "
@@ -188,7 +191,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--enc-f32", action="store_true",
-                   help="f32 encoder under --bf16 (unit-exact; see convert)")
+                   help="f32 encoder under --bf16 (fewer unit flips; "
+                        "for bit-exact units drop --bf16 — see convert)")
     p.add_argument("--wire-mulaw", action="store_true")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"])
     p.add_argument("--load_model", nargs="?", const="latest", default=None,

@@ -294,6 +294,17 @@ class Converter:
                 lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, dec_params
             )
         zlens = None if tlens is None else (tlens + self.hps.downsample - 1) // self.hps.downsample
+        # NOTE on unit bit-exactness across configs: a mixed program
+        # (encoder_dtype=f32, compute_dtype=bf16) does NOT reproduce the
+        # all-f32 program's units bit-for-bit — XLA's global layout and
+        # scheduling decisions depend on the whole module, so the f32
+        # encoder's last-ulp rounding shifts with the DECODER's dtype
+        # (measured: ~4e-4 of bits flip at batch 32; an
+        # optimization_barrier on the logits does not stop it). For
+        # challenge-exact units use compute_dtype=f32: the Pallas GL
+        # kernel (~93% of conversion FLOPs) runs bf16 MXU matmuls
+        # internally regardless of config, so the all-f32 program costs
+        # only ~0.1% device-side vs all-bf16 (see docs/performance.md).
         logits = self.encoder.apply(enc_params, x.astype(ed), lengths=tlens).astype(jnp.float32)
         # mode-aware (ref enc_mode switch): the dumped 0/1 rows AND the
         # decode latent follow hps.enc_mode — for the default "binary"
