@@ -395,7 +395,12 @@ def main():
                 prog(conv_obj.enc_params, conv_obj.dec_params, *s)
                 for s in sets[:n_reps]
             ]
-            _force(outs[-1])
+            # force EVERY dispatch, not just the last: per-client FIFO
+            # makes the last fetch sufficient in practice, but a runtime
+            # with multiple execution streams could reorder — scalar
+            # fetches are negligible next to the program runtime
+            for out in outs:
+                _force(out)
             return (time.perf_counter() - t0) / n_reps, prog, sets[0]
 
         try:

@@ -111,7 +111,20 @@ def _gl_packed(cfg: AudioConfig) -> bool:
     EVERY Griffin-Lim matmul (the kernel is ~93% of conversion FLOPs).
     Enabled only when F-1 is itself 128-aligned so the Nyquist magnitude
     (kept at its original column F-1 = first padded lane) stays on an
-    aligned lane-slice boundary."""
+    aligned lane-slice boundary.
+
+    NOTE: packing changes the kernel's numerical results at float-tolerance
+    level (the real-bin projection normalizes by |re| instead of
+    sqrt(re^2 + residual^2), a ~1e-13-residue-level difference) — so
+    bit-reproducibility comparisons across repo versions will see the
+    vocoder output shift. Escape hatch for A/B debugging: set
+    ZSTTS_GL_NO_PACK=1 in the environment BEFORE the first kernel build
+    (the constant builders are lru-cached; flipping it mid-process is
+    not supported)."""
+    import os
+
+    if os.environ.get("ZSTTS_GL_NO_PACK"):
+        return False
     f = cfg.n_fft // 2 + 1
     return cfg.n_fft % 2 == 0 and f > 128 and (f - 1) % 128 == 0
 
@@ -127,8 +140,19 @@ def _gl_constants(cfg: AudioConfig):
     hop = cfg.hop_length
     r = win // hop
     if _gl_packed(cfg):
-        assert np.allclose(sa[:, 0], 0, atol=1e-6) and np.allclose(sa[:, f - 1], 0, atol=1e-6)
-        assert np.allclose(ss[0], 0, atol=1e-6) and np.allclose(ss[f - 1], 0, atol=1e-6)
+        # Preconditions survive `python -O` (a window/DFT convention change
+        # that violates them would otherwise silently fold a non-zero basis
+        # column and corrupt audio).
+        if not (
+            np.allclose(sa[:, 0], 0, atol=1e-6)
+            and np.allclose(sa[:, f - 1], 0, atol=1e-6)
+            and np.allclose(ss[0], 0, atol=1e-6)
+            and np.allclose(ss[f - 1], 0, atol=1e-6)
+        ):
+            raise ValueError(
+                "Nyquist packing precondition violated: DC/Nyquist sin bases "
+                "are not ~0 for this AudioConfig; refusing to pack."
+            )
         sa = np.concatenate([ca[:, f - 1 : f], sa[:, 1 : f - 1]], axis=1)
         ss = np.concatenate([cs[f - 1 : f], ss[1 : f - 1]], axis=0)
         ca, cs = ca[:, : f - 1], cs[: f - 1]
