@@ -174,3 +174,87 @@ def test_dtw_vectorized_matches_scalar_dp():
     a = rng.integers(0, 2, (60, 16))
     b = rng.integers(0, 2, (45, 16))
     assert ev.dtw_distance(a, b) == pytest.approx(_dtw_scalar(a, b), abs=1e-12)
+
+
+def _rand_items(rng, n_classes=3, n_speakers=3, per_pool=3, dim=6):
+    items = []
+    for c in range(n_classes):
+        for s in range(n_speakers):
+            for _ in range(per_pool):
+                t = int(rng.integers(2, 7))
+                items.append({
+                    "cls": f"c{c}", "spk": f"s{s}",
+                    "units": rng.integers(0, 2, (t, dim)),
+                })
+    return items
+
+
+def test_vectorized_cell_scoring_matches_scalar_loop():
+    """The broadcast-compare cell scoring (round 4) must reproduce the
+    scalar triple loop exactly — both within- and across-speaker, on
+    random pools with real DTW ties (short binary snippets collide)."""
+    rng = np.random.default_rng(11)
+    items = _rand_items(rng)
+
+    # oracle: run the aggregation with the scalar loop substituted in
+    def abx_loop(items, across):
+        from collections import defaultdict
+        from itertools import product
+
+        by = defaultdict(list)
+        for it in items:
+            by[(it["cls"], it["spk"])].append(np.asarray(it["units"]))
+        classes = sorted({c for c, _ in by})
+        speakers = sorted({s for _, s in by})
+        dcache = {}
+
+        def dist(u, v):
+            key = (id(u), id(v))
+            if key not in dcache:
+                dcache[key] = dcache[(id(v), id(u))] = ev.dtw_distance(u, v)
+            return dcache[key]
+
+        pair_cells = defaultdict(list)
+        for ca, cb in product(classes, classes):
+            if ca == cb:
+                continue
+            for s in speakers:
+                a_pool, b_pool = by.get((ca, s), []), by.get((cb, s), [])
+                if not a_pool or not b_pool:
+                    continue
+                if across:
+                    for s2 in speakers:
+                        if s2 == s:
+                            continue
+                        sc = ev._cell_score_loop(
+                            a_pool, b_pool, by.get((ca, s2), []), False, dist)
+                        if sc is not None:
+                            pair_cells[(ca, cb)].append(sc)
+                else:
+                    if len(a_pool) < 2:
+                        continue
+                    sc = ev._cell_score_loop(a_pool, b_pool, a_pool, True, dist)
+                    if sc is not None:
+                        pair_cells[(ca, cb)].append(sc)
+        ordered = {p: float(np.mean(c)) for p, c in pair_cells.items()}
+        sym = defaultdict(list)
+        for (ca, cb), v in ordered.items():
+            sym[tuple(sorted((ca, cb)))].append(v)
+        return float(np.mean([float(np.mean(v)) for v in sym.values()]))
+
+    for across in (False, True):
+        got = ev.abx_discriminability(items, across_speaker=across)["abx"]
+        want = round(abx_loop(items, across), 4)  # report rounds to 4 dp
+        assert got == pytest.approx(want, abs=1e-12), (across, got, want)
+
+
+def test_sampled_cell_scoring_close_and_seeded():
+    """The max_triples_per_cell sampled path is (a) deterministic for a
+    fixed seed and (b) statistically close to the exact score."""
+    rng = np.random.default_rng(3)
+    items = _rand_items(rng, n_classes=2, n_speakers=2, per_pool=8)
+    exact = ev.abx_discriminability(items)["abx"]
+    s1 = ev.abx_discriminability(items, max_triples_per_cell=100, seed=7)["abx"]
+    s2 = ev.abx_discriminability(items, max_triples_per_cell=100, seed=7)["abx"]
+    assert s1 == s2
+    assert abs(s1 - exact) < 0.1, (s1, exact)

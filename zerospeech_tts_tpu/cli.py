@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -57,6 +58,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-index_path", "--index_path", required=True)
     p.add_argument("--n-samples", type=int, default=500_000, help="segment index size")
     p.add_argument("--no-trim", action="store_true")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="build only utterance slice I of N (multi-host corpus "
+                        "build): writes a shard file with raw per-speaker "
+                        "stat partials to -dataset_path and skips the segment "
+                        "index; combine with --merge-shards afterwards")
+    p.add_argument("--merge-shards", nargs="+", default=None, metavar="SHARD_H5",
+                   help="merge shard files (from --shard runs) into "
+                        "-dataset_path, finalize per-speaker stats exactly, "
+                        "and build the segment index; --corpus is ignored")
+    p.add_argument("--workers", type=int, default=1, metavar="N",
+                   help="single-host parallel build: N shard subprocesses "
+                        "then an automatic merge (the multi-process corpus "
+                        "pipeline; each worker decodes + featurizes its slice)")
 
     for stage in ("train1", "train2"):
         p = sub.add_parser(stage)
@@ -150,6 +164,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "latent-frame indices)")
     p.add_argument("--abx-across", action="store_true",
                    help="across-speaker ABX instead of within-speaker")
+    p.add_argument("--abx-max-triples", type=int, default=None, metavar="N",
+                   help="cap triples per (class-pair, speaker-context) cell "
+                        "by uniform sampling (bounds runtime on real ZR19 "
+                        "item files; cells under the cap stay exact)")
     p.add_argument("--feat", default="lin", choices=["lin", "mel"])
     p.add_argument("--split", default="train")
     p.add_argument("--n-segments", type=int, default=64)
@@ -350,9 +368,20 @@ def _restore_source(args, hps, default_mgr):
     return mgr, step
 
 
+def _parse_shard(spec: str) -> tuple[int, int]:
+    try:
+        i, n = spec.split("/")
+        i, n = int(i), int(n)
+    except ValueError:
+        sys.exit(f"--shard wants I/N (e.g. 0/4), got {spec!r}")
+    if not (0 <= i < n):
+        sys.exit(f"--shard index {i} not in [0, {n})")
+    return i, n
+
+
 def cmd_preprocess(args):
     _setup_platform(args)
-    from zerospeech_tts_tpu.data import build_corpus, make_segment_index
+    from zerospeech_tts_tpu.data import build_corpus, make_segment_index, merge_corpus_shards
 
     hps, acfg = load_configs(args.hps)
     t0 = time.time()
@@ -363,10 +392,48 @@ def cmd_preprocess(args):
         if n[0] % 200 == 0:
             print(f"  [{time.time() - t0:7.1f}s] {n[0]} utterances ({split})", flush=True)
 
-    manifest = build_corpus(
-        args.corpus, args.dataset_path, acfg, trim=not args.no_trim, progress=progress
-    )
-    print(f"corpus: {manifest['counts']} speakers={len(manifest['speakers'])}")
+    if args.merge_shards:
+        manifest = merge_corpus_shards(args.merge_shards, args.dataset_path)
+        print(f"merged {len(args.merge_shards)} shards: {manifest['counts']} "
+              f"speakers={len(manifest['speakers'])}")
+    elif args.shard is not None:
+        i, k = _parse_shard(args.shard)
+        manifest = build_corpus(
+            args.corpus, args.dataset_path, acfg, trim=not args.no_trim,
+            progress=progress, n_shards=k, shard_index=i,
+        )
+        print(f"shard {i}/{k}: {manifest['counts']} -> {args.dataset_path} "
+              f"(raw stat partials; run --merge-shards when all shards exist)")
+        return
+    elif args.workers > 1:
+        import subprocess
+
+        shard_paths = [f"{args.dataset_path}.shard{i}of{args.workers}"
+                       for i in range(args.workers)]
+        procs = []
+        for i, spath in enumerate(shard_paths):
+            cmd = [sys.executable, "-m", "zerospeech_tts_tpu.cli", "preprocess",
+                   "--corpus", args.corpus, "-dataset_path", spath,
+                   "-index_path", args.index_path,  # unused by shard runs
+                   "--hps", args.hps, "--shard", f"{i}/{args.workers}"]
+            if args.no_trim:
+                cmd.append("--no-trim")
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            procs.append(subprocess.Popen(cmd))
+        rcs = [p.wait() for p in procs]
+        if any(rcs):
+            sys.exit(f"shard worker(s) failed: rcs={rcs}")
+        manifest = merge_corpus_shards(shard_paths, args.dataset_path)
+        for spath in shard_paths:
+            os.unlink(spath)
+        print(f"{args.workers}-worker build: {manifest['counts']} "
+              f"speakers={len(manifest['speakers'])}")
+    else:
+        manifest = build_corpus(
+            args.corpus, args.dataset_path, acfg, trim=not args.no_trim, progress=progress
+        )
+        print(f"corpus: {manifest['counts']} speakers={len(manifest['speakers'])}")
     entries = make_segment_index(
         args.dataset_path, args.index_path, hps.seg_len, args.n_samples, seed=hps.seed,
         pair_grid=hps.downsample,  # latent-aligned pair offsets (solver pair term)
@@ -680,7 +747,10 @@ def cmd_eval(args):
         if not args.units:
             sys.exit("--abx needs --units DIR (the dumped unit files)")
         items = ev.load_abx_items(args.abx, args.units)
-        report["abx"] = ev.abx_discriminability(items, across_speaker=args.abx_across)
+        report["abx"] = ev.abx_discriminability(
+            items, across_speaker=args.abx_across,
+            max_triples_per_cell=args.abx_max_triples,
+        )
     if args.recon or args.stability:
         if not (args.dataset_path and args.ckpt_dir):
             sys.exit("--recon/--stability need -dataset_path and -ckpt_dir")

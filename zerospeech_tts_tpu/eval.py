@@ -163,7 +163,26 @@ def _dtw_dp_scalar(d: np.ndarray, ta: int, tb: int) -> float:
     return float(acc[ta, tb] / max(int(steps[ta, tb]), 1))
 
 
-def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dict:
+def _cell_score_loop(a_pool, b_pool, x_pool, x_is_a_pool, dist) -> float | None:
+    """Scalar-loop triple scoring — the oracle the vectorized path is
+    tested against (tests/test_abx.py); O(#a·#b·#x) Python iterations."""
+    scores = []
+    for xi, x in enumerate(x_pool):
+        for ai, a in enumerate(a_pool):
+            if x_is_a_pool and ai == xi:
+                continue  # a != x when both draw from the same pool
+            for b in b_pool:
+                da, db = dist(x, a), dist(x, b)
+                scores.append(1.0 if da < db else (0.5 if da == db else 0.0))
+    return float(np.mean(scores)) if scores else None
+
+
+def abx_discriminability(
+    items: list[dict],
+    across_speaker: bool = False,
+    max_triples_per_cell: int | None = None,
+    seed: int = 0,
+) -> dict:
     """ABX discriminability over discrete-unit snippets (the ZR19
     challenge's primary unit-quality metric; the reference delegates it to
     the external eval kit — SURVEY.md §4 — this is a self-contained
@@ -186,7 +205,19 @@ def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dic
     (The official kit has one extra level — triphone context — which
     collapses here because an item carries a single class label.)
     1.0 = perfectly discriminable units, 0.5 = chance; ``abx_error`` is
-    the 1-abx error rate the challenge leaderboard reports."""
+    the 1-abx error rate the challenge leaderboard reports.
+
+    max_triples_per_cell: optional cap for real item-file scale (ZR19
+    English is tens of thousands of items -> millions of triples per
+    run). Cells whose full triple count exceeds the cap score a uniform
+    random sample of ``max_triples_per_cell`` triples instead (seeded);
+    DTW distances are computed only for sampled pairs, so the cap bounds
+    both the scoring AND the distance work. Cells under the cap are exact.
+    Scoring itself is vectorized: the per-cell DTW distance matrices (or
+    sampled distance vectors) feed one broadcast compare instead of a
+    Python triple loop (oracle equality with the scalar loop is tested in
+    tests/test_abx.py; runtime at ~1e4-item scale recorded by
+    tools/abx_bench.py)."""
     from collections import defaultdict
     from itertools import product
 
@@ -195,6 +226,7 @@ def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dic
         by[(it["cls"], it["spk"])].append(np.asarray(it["units"]))
     classes = sorted({c for c, _ in by})
     speakers = sorted({s for _, s in by})
+    rng = np.random.default_rng(seed)
 
     dcache: dict = {}
 
@@ -205,15 +237,34 @@ def abx_discriminability(items: list[dict], across_speaker: bool = False) -> dic
         return dcache[key]
 
     def cell_score(a_pool, b_pool, x_pool, x_is_a_pool):
-        scores = []
-        for xi, x in enumerate(x_pool):
-            for ai, a in enumerate(a_pool):
-                if x_is_a_pool and ai == xi:
-                    continue  # a != x when both draw from the same pool
-                for b in b_pool:
-                    da, db = dist(x, a), dist(x, b)
-                    scores.append(1.0 if da < db else (0.5 if da == db else 0.0))
-        return float(np.mean(scores)) if scores else None
+        na, nb, nx = len(a_pool), len(b_pool), len(x_pool)
+        # when x and a draw from one pool, a != x removes one a per x
+        na_eff = na - 1 if x_is_a_pool else na
+        n_triples = nx * na_eff * nb
+        if n_triples <= 0:
+            return None
+        if max_triples_per_cell is not None and n_triples > max_triples_per_cell:
+            # sampled path: decode flat triple indices (x, a_eff, b) and
+            # compute only the sampled pairs' distances
+            flat = rng.choice(n_triples, size=max_triples_per_cell, replace=False)
+            xi, rem = flat // (na_eff * nb), flat % (na_eff * nb)
+            ae, bi = rem // nb, rem % nb
+            # a_eff skips the x slot when the pools coincide
+            ai = ae + (ae >= xi) if x_is_a_pool else ae
+            da = np.array([dist(x_pool[x], a_pool[a]) for x, a in zip(xi, ai)])
+            db = np.array([dist(x_pool[x], b_pool[b]) for x, b in zip(xi, bi)])
+            return float(np.mean((da < db) + 0.5 * (da == db)))
+        # exact path: full [nx, na] / [nx, nb] distance matrices (cache-
+        # deduped across cells), one broadcast compare for every triple
+        dxa = np.array([[dist(x, a) for a in a_pool] for x in x_pool])
+        dxb = np.array([[dist(x, b) for b in b_pool] for x in x_pool])
+        sc = (dxa[:, :, None] < dxb[:, None, :]) + 0.5 * (
+            dxa[:, :, None] == dxb[:, None, :]
+        )
+        if x_is_a_pool:
+            valid = ~np.eye(nx, dtype=bool)  # [nx, na] drop a == x
+            return float(sc[valid].mean())
+        return float(sc.mean())
 
     pair_cells: dict = defaultdict(list)  # ordered (cA, cB) -> cell scores
     for ca, cb in product(classes, classes):
