@@ -277,3 +277,67 @@ def test_build_corpus_consumer_failure_unblocks_producer(tmp_path, monkeypatch):
     while threading.active_count() > n0 and _time.time() < deadline:
         _time.sleep(0.1)
     assert threading.active_count() <= n0, "producer thread leaked"
+
+
+def test_sharded_build_and_merge_matches_single(tmp_path):
+    """3-shard build + merge (SURVEY §7 hard-part 6: per-speaker stats as a
+    segmented reduction across processes) must reproduce the single-process
+    corpus: identical feature trees/arrays and per-speaker stats to float64
+    reassociation tolerance; the merged speaker map is deterministic."""
+    from zerospeech_tts_tpu.data import merge_corpus_shards
+
+    root = tmp_path / "corpus"
+    _toy_corpus(root, n_utt=3)
+    single = build_corpus(root, tmp_path / "one.h5", ACFG, trim=False)
+    shards = []
+    for i in range(3):
+        sp = tmp_path / f"sh{i}.h5"
+        m = build_corpus(root, sp, ACFG, trim=False, n_shards=3, shard_index=i)
+        shards.append(sp)
+        with h5py.File(sp, "r") as f:
+            assert "stats" not in f and "stats_raw" in f
+            assert json.loads(f.attrs["shard"]) == {"index": i, "of": 3}
+    merged = merge_corpus_shards(shards, tmp_path / "merged.h5")
+    assert merged["counts"] == single["counts"]
+    assert set(merged["speakers"]) == set(single["speakers"])
+
+    with h5py.File(tmp_path / "one.h5", "r") as fa, \
+         h5py.File(tmp_path / "merged.h5", "r") as fb:
+        def walk(g, out, prefix=""):
+            for k, v in g.items():
+                p = f"{prefix}/{k}"
+                (walk(v, out, p) if isinstance(v, h5py.Group) else out.append(p))
+            return out
+        ka = sorted(p for p in walk(fa, []) if not p.startswith("/stats"))
+        kb = sorted(p for p in walk(fb, []) if not p.startswith("/stats"))
+        assert ka == kb
+        for k in ka:
+            np.testing.assert_array_equal(fa[k][:], fb[k][:])
+        # stats: exact reduction up to float64 sum reassociation
+        sa = sorted(p for p in walk(fa["stats"], [], "/stats"))
+        sb = sorted(p for p in walk(fb["stats"], [], "/stats"))
+        assert sa == sb
+        for k in sa:
+            np.testing.assert_allclose(fa[k][:], fb[k][:], rtol=0, atol=1e-10)
+
+    # the merged corpus must drive the segment index + loader
+    idx = tmp_path / "idx.json"
+    hps = Hps(seg_len=8, n_feat=20, downsample=2, n_speakers=8, batch_size=4)
+    entries = make_segment_index(tmp_path / "merged.h5", idx, 8, 64, seed=0, pair_grid=2)
+    assert entries
+    with SegmentLoader(tmp_path / "merged.h5", idx, hps, feat="mel") as loader:
+        batch = next(iter(loader))
+    assert batch["x"].shape == (4, 8, 20)
+
+
+def test_merge_rejects_overlapping_shards(tmp_path):
+    from zerospeech_tts_tpu.data import merge_corpus_shards
+
+    root = tmp_path / "corpus"
+    _toy_corpus(root)
+    a = tmp_path / "a.h5"
+    build_corpus(root, a, ACFG, trim=False, n_shards=2, shard_index=0)
+    b = tmp_path / "b.h5"
+    build_corpus(root, b, ACFG, trim=False, n_shards=2, shard_index=0)  # same slice
+    with pytest.raises(ValueError, match="duplicate utterance"):
+        merge_corpus_shards([a, b], tmp_path / "m.h5")

@@ -9,6 +9,11 @@ a JSON index of fixed-length training segments, and a host loader yielding
 batch-axis NamedSharding).
 """
 
-from zerospeech_tts_tpu.data.corpus import build_corpus, discover_wavs, speaker_of  # noqa: F401
+from zerospeech_tts_tpu.data.corpus import (  # noqa: F401
+    build_corpus,
+    discover_wavs,
+    merge_corpus_shards,
+    speaker_of,
+)
 from zerospeech_tts_tpu.data.segments import make_segment_index  # noqa: F401
 from zerospeech_tts_tpu.data.loader import SegmentLoader  # noqa: F401

@@ -96,6 +96,8 @@ def build_corpus(
     trim: bool = True,
     progress=None,
     pipeline: int = 3,
+    n_shards: int = 1,
+    shard_index: int = 0,
 ) -> dict:
     """Extract features for every wav and write the h5 corpus.
 
@@ -108,13 +110,25 @@ def build_corpus(
     loop is serial and CPU-bound for hours; SURVEY.md §3.1 🔥).
     ``pipeline=0`` restores the fully synchronous loop.
 
+    Sharded build (SURVEY.md §7 hard-part 6): with ``n_shards > 1`` this
+    process handles the deterministic slice ``paths[shard_index::n_shards]``
+    of every split and writes RAW per-speaker stat partials
+    (``stats_raw/{spk}/{feat}_{n,s1,s2}``) instead of finalized stats —
+    the segmented-reduction partial sums a later
+    :func:`merge_corpus_shards` combines exactly. Each shard is an
+    independent process (or host); nothing is shared but the output files.
+
     Returns a manifest dict: speakers id-map + per-split utterance counts.
     """
     import collections
     import queue as queue_mod
     import threading
 
+    if not (0 <= shard_index < n_shards):
+        raise ValueError(f"shard_index {shard_index} not in [0, {n_shards})")
     found = discover_wavs(corpus_dir)
+    if n_shards > 1:
+        found = {s: paths[shard_index::n_shards] for s, paths in found.items()}
     out_h5 = Path(out_h5)
     out_h5.parent.mkdir(parents=True, exist_ok=True)
 
@@ -192,22 +206,106 @@ def build_corpus(
                 stop.set()
                 th.join(timeout=5.0)
 
-        for spk, st in mel_stats.items():
-            mean, std = st.finalize()
-            g = f.require_group(f"stats/{spk}")
-            g.create_dataset("mel_mean", data=mean)
-            g.create_dataset("mel_std", data=std)
-        for spk, st in lin_stats.items():
-            mean, std = st.finalize()
-            g = f.require_group(f"stats/{spk}")
-            g.create_dataset("lin_mean", data=mean)
-            g.create_dataset("lin_std", data=std)
+        if n_shards > 1:
+            # raw partials: the merge step's segmented reduction needs the
+            # (n, sum, sum-of-squares) triples, not per-shard means
+            for feat, stats in (("mel", mel_stats), ("lin", lin_stats)):
+                for spk, st in stats.items():
+                    g = f.require_group(f"stats_raw/{spk}")
+                    g.create_dataset(f"{feat}_n", data=np.int64(st.n))
+                    g.create_dataset(f"{feat}_s1", data=st.s1)
+                    g.create_dataset(f"{feat}_s2", data=st.s2)
+            f.attrs["shard"] = json.dumps({"index": shard_index, "of": n_shards})
+        else:
+            for spk, st in mel_stats.items():
+                mean, std = st.finalize()
+                g = f.require_group(f"stats/{spk}")
+                g.create_dataset("mel_mean", data=mean)
+                g.create_dataset("mel_std", data=std)
+            for spk, st in lin_stats.items():
+                mean, std = st.finalize()
+                g = f.require_group(f"stats/{spk}")
+                g.create_dataset("lin_mean", data=mean)
+                g.create_dataset("lin_std", data=std)
 
         f.attrs["speakers"] = json.dumps(speakers)
         f.attrs["audio_config"] = json.dumps(
             {k: v for k, v in cfg.__dict__.items()}, default=float
         )
 
+    return {"speakers": speakers, "counts": counts, "path": str(out_h5)}
+
+
+def merge_corpus_shards(shard_paths: Iterable[str | Path], out_h5: str | Path) -> dict:
+    """Combine shard files from :func:`build_corpus`'s sharded mode into
+    one corpus h5 — the cross-host half of SURVEY.md §7 hard-part 6.
+
+    Feature groups are copied verbatim; per-speaker stats come from the
+    exact segmented reduction over the shards' raw ``(n, s1, s2)``
+    partials (identical math to the single-process accumulator, so the
+    merged mean/std equal a single-process build's up to float64 sum
+    reassociation — tested at 1e-10 in tests/test_data.py). The merged
+    speaker id-map is assigned in sorted-name order: deterministic no
+    matter how utterances were partitioned (a single-process build uses
+    encounter order instead; ids are file-internal either way).
+    """
+    shard_paths = [Path(p) for p in shard_paths]
+    if not shard_paths:
+        raise ValueError("no shard files given")
+    out_h5 = Path(out_h5)
+    out_h5.parent.mkdir(parents=True, exist_ok=True)
+    counts: dict[str, int] = {}
+    raw: dict[str, dict[str, list]] = {}
+    speakers_seen: set[str] = set()
+    acfg_json = None
+    with h5py.File(out_h5, "w") as out:
+        for sp in shard_paths:
+            with h5py.File(sp, "r") as fin:
+                if "shard" not in fin.attrs:
+                    raise ValueError(f"{sp} is not a shard file (built with n_shards>1)")
+                cj = fin.attrs.get("audio_config")
+                if acfg_json is None:
+                    acfg_json = cj
+                elif cj != acfg_json:
+                    raise ValueError(f"{sp}: audio_config differs across shards")
+                speakers_seen.update(json.loads(fin.attrs["speakers"]))
+                for split in fin:
+                    if split in ("stats", "stats_raw"):
+                        continue
+                    for spk in fin[split]:
+                        dst = out.require_group(f"{split}/{spk}")
+                        for utt in fin[split][spk]:
+                            if utt in dst:
+                                raise ValueError(
+                                    f"duplicate utterance {split}/{spk}/{utt} "
+                                    f"across shards (overlapping partitions?)"
+                                )
+                            fin.copy(fin[f"{split}/{spk}/{utt}"], dst, name=utt)
+                            counts[split] = counts.get(split, 0) + 1
+                if "stats_raw" in fin:
+                    for spk in fin["stats_raw"]:
+                        g = fin[f"stats_raw/{spk}"]
+                        acc = raw.setdefault(spk, {})
+                        for feat in ("mel", "lin"):
+                            if f"{feat}_n" not in g:
+                                continue
+                            a = acc.setdefault(feat, [0, None, None])
+                            a[0] += int(g[f"{feat}_n"][()])
+                            s1 = g[f"{feat}_s1"][:].astype(np.float64)
+                            s2 = g[f"{feat}_s2"][:].astype(np.float64)
+                            a[1] = s1 if a[1] is None else a[1] + s1
+                            a[2] = s2 if a[2] is None else a[2] + s2
+        for spk, feats in raw.items():
+            g = out.require_group(f"stats/{spk}")
+            for feat, (n, s1, s2) in feats.items():
+                mean = s1 / max(n, 1)
+                var = np.maximum(s2 / max(n, 1) - mean**2, 1e-12)
+                g.create_dataset(f"{feat}_mean", data=mean.astype(np.float32))
+                g.create_dataset(f"{feat}_std", data=np.sqrt(var).astype(np.float32))
+        speakers = {s: i for i, s in enumerate(sorted(speakers_seen))}
+        out.attrs["speakers"] = json.dumps(speakers)
+        if acfg_json is not None:
+            out.attrs["audio_config"] = acfg_json
     return {"speakers": speakers, "counts": counts, "path": str(out_h5)}
 
 
