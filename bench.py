@@ -382,7 +382,7 @@ def main():
             leaf = jax.tree.leaves(out)[0]
             float(jnp.ravel(leaf)[0])
 
-        def time_device(conv_obj, n_reps=6):
+        def time_device(conv_obj, n_reps=10):
             prog = conv_obj._wav_program(n_frames)
             # one distinct staged set per rep PLUS a warm set: any repeat of
             # an already-executed (program, buffers) pair can be deduped by
@@ -395,12 +395,21 @@ def main():
                 prog(conv_obj.enc_params, conv_obj.dec_params, *s)
                 for s in sets[:n_reps]
             ]
-            # force EVERY dispatch, not just the last: per-client FIFO
-            # makes the last fetch sufficient in practice, but a runtime
-            # with multiple execution streams could reorder — scalar
-            # fetches are negligible next to the program runtime
-            for out in outs:
-                _force(out)
+            # Force ONLY the last dispatch. A round-3 revision forced every
+            # output "for robustness" — that was a measurement bug, not a
+            # hardening: each scalar fetch on the tunneled platform is a
+            # BLOCKING ~28 ms host<->device roundtrip issued serially from
+            # Python, so forcing N outputs adds ~28 ms x (N-1) of pure
+            # readback latency to the timed region and inflated every
+            # round-3 device-resident number by ~28 ms/call (measured:
+            # a trivial x+1 program "takes" 30 ms/call force-every vs
+            # 2.4 ms/call force-last at 12 reps). Per-client FIFO
+            # execution (verified with a readback probe, recorded in
+            # docs/performance.md) makes the last fetch force the whole
+            # sequence; the residual bias is one ~28 ms roundtrip
+            # amortized over n_reps (~3 ms/call at 10 reps, conservative
+            # — it makes reported time LONGER, never shorter).
+            _force(outs[-1])
             return (time.perf_counter() - t0) / n_reps, prog, sets[0]
 
         try:

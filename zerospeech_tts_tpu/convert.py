@@ -161,6 +161,14 @@ class Converter:
         # again; conversion on tunneled/remote hosts is wire-bound, not
         # FLOP-bound. Unit agreement vs the f32 path is ~0.997 (see
         # tests/test_parallel.py::test_uint8_wire_converter).
+        gru_impl: str | None = None,  # GRU recurrence backend. None -> auto:
+        # on TPU the decoder (and, in bf16 fast configs, the encoder) uses
+        # the ops/pallas_gru whole-recurrence kernel; the challenge-exact
+        # f32 ENCODER always keeps the lax.scan path (the kernel is not
+        # bit-identical — f32 state + different matmul staging), so dumped
+        # units are unchanged by this switch in the exact config. "scan" /
+        # "pallas" force one backend for both modules (A/B debugging);
+        # env ZSTTS_NO_PALLAS_GRU=1 disables auto selection.
         pcm_wire: str = "int16",  # PCM transport: int16 (bit-exact) | mulaw
         # mulaw = 8-bit G.711-style companding on BOTH PCM directions (wav
         # up-wire of the PCM-in programs, synthesized audio down-wire of
@@ -199,8 +207,24 @@ class Converter:
         self.bucket_frames = bucket_frames
         self.bucket_edges: list[int] | None = None  # set by fit_buckets()
         self.stats = stats
-        self.encoder = Encoder(hps)
-        self.decoder = Decoder(hps)
+        if gru_impl is None:
+            import os
+
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and not os.environ.get("ZSTTS_NO_PALLAS_GRU")
+            )
+            dec_gru = "pallas" if use_pallas else "scan"
+            enc_gru = (
+                "pallas"
+                if use_pallas and self.encoder_dtype != jnp.float32
+                else "scan"
+            )
+        else:
+            assert gru_impl in ("scan", "pallas"), gru_impl
+            dec_gru = enc_gru = gru_impl
+        self.encoder = Encoder(hps, gru_impl=enc_gru)
+        self.decoder = Decoder(hps, gru_impl=dec_gru)
         self._progs: dict = {}
         self._enc_progs: dict = {}
         self._wav_progs: dict = {}
@@ -324,12 +348,18 @@ class Converter:
 
         seq = gl_method == "pallas_seq"  # lax.map: the kernel must never be vmapped
 
+        voc = lambda m: vocoder(  # noqa: E731
+            m, acfg, n_iters=self.gl_iters, method="pallas" if seq else gl_method
+        )
+
+        def _pcm_out(wav):
+            if self.pcm_wire == "mulaw":  # 8-bit companded down-wire
+                return mulaw_compress_device(jnp.clip(wav, -1.0, 1.0))
+            return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+
         def decode_one(spk_row, mean_row, std_row):
             xh = self.decoder.apply(dec_params, z, spk_row, lengths=zlens).astype(jnp.float32)
             xh = jnp.clip(xh * std_row[None, None, :] + mean_row[None, None, :], 0.0, 1.0)
-            voc = lambda m: vocoder(  # noqa: E731
-                m, acfg, n_iters=self.gl_iters, method="pallas" if seq else gl_method
-            )
             if seq and self.mesh is not None:
                 # sharded long bucket: each device lax.maps the kernel over
                 # its LOCAL slice of the utterance batch (batch_size is
@@ -344,18 +374,42 @@ class Converter:
                     out_specs=P("data"),
                     check_vma=False,
                 )(xh)
-            elif seq:
-                wav = jax.lax.map(voc, xh)
             else:
-                wav = jax.vmap(voc)(xh)
-            if self.pcm_wire == "mulaw":  # 8-bit companded down-wire
-                return mulaw_compress_device(jnp.clip(wav, -1.0, 1.0))
-            return jnp.clip(wav * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+                wav = jax.lax.map(voc, xh)
+            return _pcm_out(wav)
 
         if seq:  # targets sequential too: vmap-of-scan would re-batch the kernel
             pcm = jax.lax.map(lambda a: decode_one(*a), (spk, tgt_mean, tgt_std))
         else:
-            pcm = jax.vmap(decode_one)(spk, tgt_mean, tgt_std)  # [n_tgt, B, n]
+            # Cross-target BATCHED decode (VERDICT r3 ask 1): fold the
+            # target axis into the utterance batch so the decoder (convs +
+            # the serial frame-rate GRU) runs ONCE at batch B*n_tgt —
+            # double the MXU rows per recurrence step and half the scan
+            # dispatches vs vmapping decode over targets. Batch-major fold
+            # (targets minor) so a mesh-sharded batch axis stays the major
+            # axis of the merged dimension (shard-local rows stay
+            # contiguous; no resharding under GSPMD).
+            n_tgt, bsz = spk.shape
+            z_all = jnp.broadcast_to(z[:, None], (bsz, n_tgt) + z.shape[1:]).reshape(
+                (bsz * n_tgt,) + z.shape[1:]
+            )
+            spk_flat = jnp.swapaxes(spk, 0, 1).reshape(-1)
+            zlens_all = None if zlens is None else jnp.repeat(zlens, n_tgt)
+            xh = self.decoder.apply(
+                dec_params, z_all, spk_flat, lengths=zlens_all
+            ).astype(jnp.float32)
+            mean_all = jnp.broadcast_to(
+                tgt_mean[None], (bsz,) + tgt_mean.shape
+            ).reshape(bsz * n_tgt, 1, -1)
+            std_all = jnp.broadcast_to(
+                tgt_std[None], (bsz,) + tgt_std.shape
+            ).reshape(bsz * n_tgt, 1, -1)
+            xh = jnp.clip(xh * std_all + mean_all, 0.0, 1.0)
+            wav = jax.vmap(voc)(xh)  # [B*n_tgt, n_samp]
+            pcm_flat = _pcm_out(wav)
+            pcm = jnp.swapaxes(
+                pcm_flat.reshape(bsz, n_tgt, -1), 0, 1
+            )  # [n_tgt, B, n]
         packed = jnp.packbits(units.astype(jnp.uint8), axis=-1)
         return packed, pcm
 
@@ -440,12 +494,13 @@ class Converter:
         # load_wav convention (y = int16 / 32768): bit-exact wire for PCM16 sources
         return pcm.astype(jnp.float32) * (1.0 / 32768.0)
 
-    def _pcm_wire_batch(self, n_samp: int) -> np.ndarray:
+    def _pcm_wire_batch(self, n_samp: int, batch: int | None = None) -> np.ndarray:
         """Zero-filled host staging buffer for the PCM up-wire (the mu-law
         code for digital silence is 128, not 0)."""
+        b = self.batch_size if batch is None else batch
         if self.pcm_wire == "mulaw":
-            return np.full((self.batch_size, n_samp), 128, np.uint8)
-        return np.zeros((self.batch_size, n_samp), np.int16)
+            return np.full((b, n_samp), 128, np.uint8)
+        return np.zeros((b, n_samp), np.int16)
 
     def _pcm_wire_pack(self, wav_f32: np.ndarray) -> np.ndarray:
         """Host up-wire encode: float wav -> wire PCM row."""
@@ -561,10 +616,11 @@ class Converter:
             n_samp = tb * hop - 1
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
-                pcm = self._pcm_wire_batch(n_samp)
-                sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
-                ss = np.ones((self.batch_size, hps.n_feat), np.float32)
-                sl = np.full(self.batch_size, n_samp, np.int32)  # dummies act full-length
+                bs_c = self._chunk_batch(len(chunk))
+                pcm = self._pcm_wire_batch(n_samp, bs_c)
+                sm = np.zeros((bs_c, hps.n_feat), np.float32)
+                ss = np.ones((bs_c, hps.n_feat), np.float32)
+                sl = np.full(bs_c, n_samp, np.int32)  # dummies act full-length
                 for j, i in enumerate(chunk):
                     w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w
@@ -631,6 +687,23 @@ class Converter:
 
     # ------------------------------------------------------------- helpers
 
+    def _chunk_batch(self, k: int) -> int:
+        """Batch rows for a chunk of ``k`` utterances: smallest power of
+        two >= k, capped at batch_size (so at most log2(batch_size)
+        distinct batch shapes compile per bucket) and rounded up to a
+        multiple of the mesh data axis. Dummy rows run the FULL program
+        (the vocoder does not mask), so a 3-utterance tail chunk should
+        not dispatch a 32-row program — with a handful of adaptive
+        buckets the tail chunks are where most dummy FLOPs were."""
+        bs = 1
+        while bs < min(k, self.batch_size):
+            bs *= 2
+        bs = min(bs, self.batch_size)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            bs = -(-bs // n_data) * n_data
+        return bs
+
     def _pad_frames(self, feats: np.ndarray) -> np.ndarray:
         t = feats.shape[0]
         tb = self._bucket_of(t)
@@ -651,8 +724,10 @@ class Converter:
 
         Returns (units_list, wavs_per_target) where units_list[i] is the
         {0,1} int array for utterance i and wavs_per_target[k][i] the int16
-        PCM for target k. Buckets by padded length, fixed batch size per
-        program (last chunk padded with dummies). All programs are LAUNCHED
+        PCM for target k. Buckets by padded length; each chunk's batch is
+        right-sized to a power of two <= batch_size (_chunk_batch), so tail
+        chunks don't burn full-batch vocoder FLOPs on dummy rows. All
+        programs are LAUNCHED
         first and read back afterwards, so device compute overlaps the
         (slow) host transfers — async dispatch is the pipeline, no host
         threading needed.
@@ -683,16 +758,18 @@ class Converter:
             buckets.setdefault(self._bucket_of(feats_list[i].shape[0]), []).append(int(i))
 
         ds, hop = self.hps.downsample, self.acfg.hop_length
-        spk_mat = np.tile(np.asarray(spk_ids, np.int32)[:, None], (1, self.batch_size))
+        spk_arr = np.asarray(spk_ids, np.int32)[:, None]
         inflight = []
         for tb, idxs in buckets.items():
             prog = self._program(tb)
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
+                bs_c = self._chunk_batch(len(chunk))
+                spk_mat = np.tile(spk_arr, (1, bs_c))
                 xs = [self._pad_frames(feats_list[i]) for i in chunk]
-                tl = np.full(self.batch_size, tb, np.int32)
+                tl = np.full(bs_c, tb, np.int32)
                 tl[: len(chunk)] = [feats_list[i].shape[0] for i in chunk]
-                while len(xs) < self.batch_size:  # pad batch with dummies
+                while len(xs) < bs_c:  # pad batch with dummies
                     xs.append(np.zeros_like(xs[0]))
                 x, wlo, wscale = self._wire_batch(xs)
                 tl_d = jnp.asarray(tl)
@@ -777,17 +854,19 @@ class Converter:
             buckets.setdefault(self._bucket_of(t), []).append(int(i))
 
         ds, hop = hps.downsample, acfg.hop_length
-        spk_mat = np.tile(np.asarray(spk_ids, np.int32)[:, None], (1, self.batch_size))
+        spk_arr = np.asarray(spk_ids, np.int32)[:, None]
         inflight = []
         for tb, idxs in buckets.items():
             prog = self._wav_program(tb)
             n_samp = tb * hop - 1  # canonical bucket length (pad_to_bucket)
             for c0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[c0 : c0 + self.batch_size]
-                pcm = self._pcm_wire_batch(n_samp)
-                sm = np.zeros((self.batch_size, hps.n_feat), np.float32)
-                ss = np.ones((self.batch_size, hps.n_feat), np.float32)
-                sl = np.full(self.batch_size, n_samp, np.int32)
+                bs_c = self._chunk_batch(len(chunk))
+                spk_mat = np.tile(spk_arr, (1, bs_c))
+                pcm = self._pcm_wire_batch(n_samp, bs_c)
+                sm = np.zeros((bs_c, hps.n_feat), np.float32)
+                ss = np.ones((bs_c, hps.n_feat), np.float32)
+                sl = np.full(bs_c, n_samp, np.int32)
                 for j, i in enumerate(chunk):
                     w = self._pcm_wire_pack(wavs[i])
                     pcm[j, : len(w)] = w

@@ -30,6 +30,7 @@ class Decoder(nn.Module):
     only, so no scan mask is needed). Adds no parameters."""
 
     hps: Hps
+    gru_impl: str = "scan"  # "pallas": ops/pallas_gru whole-recurrence kernel
 
     @nn.compact
     def __call__(
@@ -53,5 +54,5 @@ class Decoder(nn.Module):
             y = y + ConvNorm(h.conv_channels, 3, ns=h.ns, name=f"res_{i}")(y)
 
         y = append_emb(y, emb)
-        y = GRU(h.conv_channels, name="rnn")(y)
+        y = GRU(h.conv_channels, impl=self.gru_impl, name="rnn")(y)
         return nn.Dense(h.n_feat, name="out")(y)

@@ -30,6 +30,9 @@ class Encoder(nn.Module):
     original behavior."""
 
     hps: Hps
+    gru_impl: str = "scan"  # "pallas": ops/pallas_gru whole-recurrence kernel
+    # (same params either way; NOT bit-identical numerics — the Converter
+    # keeps "scan" for the challenge-exact all-f32 encoder)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, lengths=None) -> jnp.ndarray:
@@ -57,7 +60,7 @@ class Encoder(nn.Module):
 
         y = nn.Dense(h.emb_size, name="dense")(y)
         y = nn.leaky_relu(y, h.ns)
-        y = BiGRU(h.emb_size // 2, name="rnn")(y, lengths=L)
+        y = BiGRU(h.emb_size // 2, impl=self.gru_impl, name="rnn")(y, lengths=L)
 
         logits = nn.Dense(2 * h.emb_size, name="head")(y)
         b, t, _ = logits.shape

@@ -104,6 +104,7 @@ class GRU(nn.Module):
     hidden: int
     reverse: bool = False
     unroll: int = 4
+    impl: str = "scan"  # "pallas": whole-recurrence kernel (ops/pallas_gru)
 
     @nn.compact
     def __call__(self, x, lengths=None):
@@ -113,6 +114,20 @@ class GRU(nn.Module):
         xw = nn.Dense(3 * h, name="wi")(x)  # [B, T, 3H]
         wh = self.param("wh", nn.initializers.orthogonal(), (h, 3 * h))
         bh = self.param("bh", nn.initializers.zeros, (3 * h,))
+
+        if self.impl == "pallas":
+            from zerospeech_tts_tpu.ops.pallas_gru import (
+                pallas_gru_scan,
+                pallas_gru_supported,
+            )
+
+            if pallas_gru_supported(b, t, h, xw.dtype):
+                return pallas_gru_scan(
+                    xw, wh, bh,
+                    lengths if (self.reverse and lengths is not None) else None,
+                    reverse=self.reverse,
+                )
+            # unsupported shape (e.g. batch 1): fall through to the scan
 
         if self.reverse:
             xw = jnp.flip(xw, axis=1)
@@ -164,13 +179,16 @@ class BiGRU(nn.Module):
     mask (padding follows the true rows)."""
 
     hidden: int
+    impl: str = "scan"
 
     @nn.compact
     def __call__(self, x, lengths=None):
         return jnp.concatenate(
             [
-                GRU(self.hidden, name="fwd")(x),
-                GRU(self.hidden, reverse=True, name="bwd")(x, lengths=lengths),
+                GRU(self.hidden, impl=self.impl, name="fwd")(x),
+                GRU(self.hidden, reverse=True, impl=self.impl, name="bwd")(
+                    x, lengths=lengths
+                ),
             ],
             axis=-1,
         )
