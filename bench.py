@@ -509,6 +509,9 @@ def main():
                 hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
                 batch_size=8, bucket_frames=bucket,
                 compute_dtype="bfloat16", pcm_wire="mulaw",
+                # short buckets fill each dispatch up to the frame cost of
+                # a longest-bucket batch-8 dispatch (VERDICT r3 item 2)
+                frame_budget=8 * max(padded),
             )
             times_m = []
             n_mixed_passes = 3
@@ -531,18 +534,26 @@ def main():
                 "mixed_rtf": round(sum(len(w) for w in mwavs) / sr / dt_m, 1),
                 "mixed_buckets": sorted(set(padded)),
                 "mixed_padding_overhead": round(sum(padded) / sum(true_frames) - 1, 4),
-                "mixed_desc": "32 utts, 1-8 s uniform, convert_wav_dir incl. file IO, bucket=256, batch=8",
+                "mixed_desc": (
+                    "32 utts, 1-8 s uniform, convert_wav_dir incl. file IO, "
+                    "bucket=256, batch=8, frame_budget=8*max_bucket "
+                    "(short buckets batch more utts/dispatch)"
+                ),
             }
-            # adaptive bucket edges (same program COUNT, optimally placed on
-            # the 64-frame grid): the planned padding is free to record; the
-            # timed A/B only runs when the soft budget allows (its programs
-            # are new shapes -> possible cold compiles)
+            # adaptive bucket edges on the 64-frame grid, planned to a
+            # padding target (VERDICT r3 item 2: overhead < 10%): the
+            # planner spends the SMALLEST edge count whose planned overhead
+            # is <= 8%, so program compiles stay proportional to the
+            # padding target, not to a fixed K. The planned padding is free
+            # to record; the timed A/B only runs when the soft budget
+            # allows (its programs are new shapes -> possible cold compiles)
             from zerospeech_tts_tpu.convert import plan_buckets
 
-            k_edges = len(set(padded))
-            a_edges = plan_buckets(true_frames, k_edges, 64)
+            pad_target = 0.08
+            a_edges = plan_buckets(true_frames, 12, 64, target_overhead=pad_target)
             a_padded = [next(e for e in sorted(a_edges) if e >= tf) for tf in true_frames]
             mixed["mixed_buckets_adaptive"] = a_edges
+            mixed["mixed_padding_target"] = pad_target
             mixed["mixed_padding_overhead_adaptive"] = round(
                 sum(a_padded) / sum(true_frames) - 1, 4
             )
@@ -554,7 +565,7 @@ def main():
                     t0 = time.perf_counter()
                     res_a = convert_wav_dir(
                         conv_mixed, wav_dir, out_dir, {"V000": 0}, sr=sr,
-                        adaptive_buckets=k_edges,
+                        adaptive_buckets=12, bucket_overhead_target=pad_target,
                     )
                     dt_a = time.perf_counter() - t0
                     # the plan the run actually executed (post-trim lengths)
@@ -574,6 +585,133 @@ def main():
                     mixed["corpus_conversion_throughput_mixed_adaptive"] = round(
                         n_utts / float(np.median(times_a)), 4
                     )
+
+            # DEVICE-RESIDENT mixed-length throughput + MFU (VERDICT r3
+            # item 2): the on-chip cost of the realistic 1-8 s corpus —
+            # inputs pre-staged in HBM per (bucket, chunk) dispatch, every
+            # rep on distinct buffers (tunnel dedupe), force-last timing
+            # (see the uniform device-resident section for the FIFO
+            # rationale). Reuses conv_mixed and the adaptive plan, so the
+            # programs are the ones the timed adaptive run just compiled.
+            if budget_left():
+                import jax.numpy as jnp
+
+                from zerospeech_tts_tpu.dsp.wavio import trim_silence
+
+                ys_dm = [trim_silence(w, acfg.top_db) for w in mwavs]
+                tfs_dm = [dsp_audio.n_frames_for(len(y), acfg) for y in ys_dm]
+                conv_mixed.bucket_frames = 64  # fit grid (may be unset if
+                # the adaptive A/B above was budget-skipped)
+                conv_mixed.fit_buckets(tfs_dm, 12, target_overhead=pad_target)
+                bkt: dict[int, list[int]] = {}
+                for i in np.argsort([-len(y) for y in ys_dm], kind="stable"):
+                    t = dsp_audio.n_frames_for(len(ys_dm[int(i)]), acfg)
+                    bkt.setdefault(conv_mixed._bucket_of(t), []).append(int(i))
+                chunks = []  # (tb, utt indices, batch rows)
+                for tb, idxs in bkt.items():
+                    cap_b = conv_mixed._bucket_cap(tb)
+                    for c0 in range(0, len(idxs), cap_b):
+                        ch = idxs[c0 : c0 + cap_b]
+                        chunks.append((tb, ch, conv_mixed._chunk_batch(len(ch), cap_b)))
+
+                hop_m = acfg.hop_length
+                nf_m = hps.n_feat
+
+                def stage_chunk(tb, ch, bs_c, rep):
+                    n_samp = tb * hop_m - 1
+                    pcm = conv_mixed._pcm_wire_batch(n_samp, bs_c)
+                    sl = np.full(bs_c, n_samp, np.int32)
+                    for j, i in enumerate(ch):
+                        w = conv_mixed._pcm_wire_pack(ys_dm[i])
+                        pcm[j, : len(w)] = w
+                        sl[j] = len(w)
+                    # distinct buffer content per rep (the tunnel can dedupe
+                    # repeated identical (program, buffers) pairs); XOR on
+                    # the wire bytes keeps shape/dtype and stays finite
+                    # through the mu-law/int16 expand
+                    if rep:
+                        pcm = pcm ^ np.array(rep & 0x7, pcm.dtype)
+                    args = (
+                        jnp.asarray(pcm),
+                        jnp.asarray(np.zeros((1, bs_c), np.int32)),
+                        jnp.asarray(np.zeros((bs_c, nf_m), np.float32)),
+                        jnp.asarray(np.ones((bs_c, nf_m), np.float32)),
+                        jnp.asarray(np.zeros((1, nf_m), np.float32)),
+                        jnp.asarray(np.ones((1, nf_m), np.float32)),
+                        jnp.asarray(sl),
+                    )
+                    float(jnp.ravel(args[0])[0])  # force the big transfer
+                    float(jnp.ravel(args[-1])[0])
+                    return args
+
+                n_reps_dm = 8
+                staged = [
+                    [stage_chunk(tb, ch, bs, r) for tb, ch, bs in chunks]
+                    for r in range(n_reps_dm + 1)
+                ]
+                # warmup: compile/execute every (tb, bs) shape once
+                last = None
+                for (tb, ch, bs), args in zip(chunks, staged[-1]):
+                    last = conv_mixed._wav_program(tb)(
+                        conv_mixed.enc_params, conv_mixed.dec_params, *args
+                    )
+                float(jnp.ravel(jax.tree.leaves(last)[0])[0])
+                t0 = time.perf_counter()
+                out_dm = None
+                for r in range(n_reps_dm):
+                    for (tb, ch, bs), args in zip(chunks, staged[r]):
+                        out_dm = conv_mixed._wav_program(tb)(
+                            conv_mixed.enc_params, conv_mixed.dec_params, *args
+                        )
+                float(jnp.ravel(jax.tree.leaves(out_dm)[0])[0])  # force-last
+                dt_dm = (time.perf_counter() - t0) / n_reps_dm
+
+                # FLOPs: XLA's count per distinct program shape + the
+                # analytic Griffin-Lim kernel model (same as the uniform
+                # device-resident section; Mosaic custom calls are invisible
+                # to cost_analysis)
+                n_freq_m = acfg.n_fft // 2 + 1
+                shape_flops: dict[tuple, float] = {}
+                total_flops = 0.0
+                for (tb, ch, bs), args in zip(chunks, staged[0]):
+                    key = (tb, bs)
+                    if key not in shape_flops:
+                        fx = 0.0
+                        try:
+                            prog = conv_mixed._wav_program(tb)
+                            ca = prog.lower(
+                                conv_mixed.enc_params, conv_mixed.dec_params, *args
+                            ).compile().cost_analysis()
+                            if isinstance(ca, (list, tuple)):
+                                ca = ca[0]
+                            fx = float(ca.get("flops", 0.0))
+                        except Exception as e:
+                            print(f"mixed cost_analysis: {e!r}", file=sys.stderr)
+                        fgl = (
+                            8.0 * tb * acfg.win_length * n_freq_m
+                            * (gl_iters + 1.5) * bs
+                            if conv_mixed._gl_method(tb) in ("pallas", "pallas_seq")
+                            else 0.0
+                        )
+                        shape_flops[key] = fx + fgl
+                    total_flops += shape_flops[key]
+                disp_frames = sum(tb * bs for tb, ch, bs in chunks)
+                useful = sum(tfs_dm) / disp_frames  # true frames / executed rows*frames
+                peak_m = 197e12 if platform == "tpu" else None
+                mixed["utt_per_sec_device_resident_mixed"] = round(n_utts / dt_dm, 4)
+                mixed["rtf_device_resident_mixed"] = round(
+                    sum(len(y) for y in ys_dm) / sr / dt_dm, 1
+                )
+                mixed["mixed_program_gflops"] = round(total_flops / 1e9, 2)
+                if peak_m:
+                    mixed["mfu_mixed"] = round(total_flops / dt_dm / peak_m, 4)
+                    # discount padding + dummy rows: utilization on USEFUL frames
+                    mixed["mfu_mixed_useful"] = round(
+                        total_flops * useful / dt_dm / peak_m, 4
+                    )
+                mixed["mixed_device_padding_overhead"] = round(1 / useful - 1, 4)
+                mixed["mixed_device_dispatches_per_pass"] = len(chunks)
+                conv_mixed.bucket_edges = None
         except Exception as e:
             print(f"mixed-length bench failed: {e!r}", file=sys.stderr)
         finally:

@@ -171,3 +171,75 @@ def test_plan_buckets_rejects_nonpositive_k():
         plan_buckets([100, 200], 0, 64)
     with pytest.raises(ValueError, match="adaptive bucket count"):
         plan_buckets([100, 200], -1, 64)
+
+
+def test_plan_buckets_target_overhead_smallest_k():
+    """target_overhead picks the SMALLEST edge count meeting the padding
+    budget: every k below it misses the target, the returned plan meets it."""
+    rng = np.random.default_rng(5)
+    lengths = (rng.uniform(1, 8, size=64) * 80).astype(int).tolist()
+    total = sum(lengths)
+    target = 0.10
+    edges = plan_buckets(lengths, 16, 32, target_overhead=target)
+    assert _waste(lengths, edges) / total <= target
+    for k in range(1, len(edges)):
+        assert _waste(lengths, plan_buckets(lengths, k, 32)) / total > target
+
+
+def test_plan_buckets_target_overhead_unreachable_best_effort():
+    """An impossible target degrades to the best plan within max_buckets
+    (never an error, never a worse plan than the unconstrained optimum)."""
+    lengths = [100, 300, 500]
+    best = plan_buckets(lengths, 2, 64)
+    got = plan_buckets(lengths, 2, 64, target_overhead=0.0)
+    assert _waste(lengths, got) == _waste(lengths, best)
+
+
+def test_bucket_cap_frame_budget(tiny_hps):
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=8,
+                     frame_budget=8 * 1024)
+    # short buckets take more rows (pow2 within rows*frames <= budget) ...
+    assert conv._bucket_of(128) == 128 and conv._bucket_cap(128) == 64
+    assert conv._bucket_cap(256) == 32
+    # ... long buckets never drop below the flat batch_size
+    assert conv._bucket_cap(2048) == 8
+    # 128-row ceiling
+    conv128 = Converter(h, acfg, state.enc, state.dec, batch_size=8,
+                        frame_budget=1 << 20)
+    assert conv128._bucket_cap(64) == 128
+    # no budget -> flat cap
+    conv_flat = Converter(h, acfg, state.enc, state.dec, batch_size=8)
+    assert conv_flat._bucket_cap(64) == 8
+
+
+def test_frame_budget_units_unchanged(tiny_hps):
+    """frame_budget regroups dispatches; the per-utterance units must be
+    identical to the flat-batch path (hard bits are grouping-invariant)."""
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    sol = Solver(h)
+    state = sol.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    lengths = [16, 16, 24, 24, 24, 32, 64]
+    feats = [rng.uniform(0, 1, (t, 129)).astype(np.float32) for t in lengths]
+
+    c_flat = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=8)
+    u_flat, w_flat = c_flat.convert_features_multi(feats, [0])
+    c_bud = Converter(h, acfg, state.enc, state.dec, batch_size=2, bucket_frames=8,
+                      frame_budget=2 * 64)
+    assert c_bud._bucket_cap(16) == 8  # the short bucket really regroups
+    u_bud, w_bud = c_bud.convert_features_multi(feats, [0])
+    for a, b in zip(u_flat, u_bud):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(w_flat[0], w_bud[0]):
+        assert a.shape == b.shape

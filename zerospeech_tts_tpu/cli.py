@@ -144,6 +144,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "histogram before converting (same program count as "
                         "uniform bucketing, less padding waste; edges stay "
                         "multiples of the 64-frame grid)")
+    p.add_argument("--bucket-overhead-target", type=float, default=None, metavar="FRAC",
+                   help="with --adaptive-buckets K: use the SMALLEST number "
+                        "of edges (<=K) whose planned padding overhead is "
+                        "<= FRAC (e.g. 0.08), instead of always spending K "
+                        "program compiles")
+    p.add_argument("--frame-budget", type=_positive_int, default=None, metavar="N",
+                   help="rows*frames per dispatch budget: short length "
+                        "buckets batch more utterances per dispatch (largest "
+                        "power of two within the budget, <=128 rows), cutting "
+                        "per-dispatch overhead on mixed-length corpora; try "
+                        "batch_size * longest_bucket_frames")
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
                    metavar="STEP|DIR",
                    help="convert from a specific checkpoint: STEP number, "
@@ -663,6 +674,7 @@ def _load_converter(args, hps, acfg, bundle=None):
         encoder_dtype="float32" if getattr(args, "enc_f32", False) else None,
         wire="uint8" if getattr(args, "wire_uint8", False) else "bf16",
         pcm_wire="mulaw" if getattr(args, "wire_mulaw", False) else "int16",
+        frame_budget=getattr(args, "frame_budget", None),
     )
 
 
@@ -712,6 +724,7 @@ def cmd_convert(args):
                 limit=args.limit,
                 units_only=args.units_only,
                 adaptive_buckets=args.adaptive_buckets,
+                bucket_overhead_target=args.bucket_overhead_target,
             )
         else:
             out = convert_corpus(
@@ -724,6 +737,7 @@ def cmd_convert(args):
                 limit=args.limit,
                 units_only=args.units_only,
                 adaptive_buckets=args.adaptive_buckets,
+                bucket_overhead_target=args.bucket_overhead_target,
             )
     dt = time.time() - t0
     print(

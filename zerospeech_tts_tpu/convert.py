@@ -68,7 +68,13 @@ def read_units(path: str | Path) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int32, ndmin=2)
 
 
-def plan_buckets(frame_lengths, max_buckets: int, quantum: int, min_pad: int = 4) -> list[int]:
+def plan_buckets(
+    frame_lengths,
+    max_buckets: int,
+    quantum: int,
+    min_pad: int = 4,
+    target_overhead: float | None = None,
+) -> list[int]:
     """Pick <= max_buckets bucket edges (multiples of ``quantum``) that
     minimize total padded frames for the given utterance length multiset.
 
@@ -76,6 +82,13 @@ def plan_buckets(frame_lengths, max_buckets: int, quantum: int, min_pad: int = 4
     may sit at its bucket edge exactly, or must have >= min_pad pad frames
     — see Converter._MIN_PAD), so the executed plan never falls back to an
     out-of-plan uniform bucket and the program count stays as fitted.
+
+    ``target_overhead``: when given, return the SMALLEST number of edges
+    whose planned padding overhead (padded/true - 1) is <= target —
+    compiles are the cost of an edge, so don't spend more programs than
+    the padding target needs. Falls back to the best achievable plan
+    within ``max_buckets`` if no k meets the target (e.g. the quantum
+    floor: every distinct quantized length its own edge).
 
     Uniform quantization (``ceil(t/bucket_frames)*bucket_frames``) wastes
     frames wherever the corpus length histogram is uneven — the recorded
@@ -123,7 +136,17 @@ def plan_buckets(frame_lengths, max_buckets: int, quantum: int, min_pad: int = 4
                     best, arg = c, i
             dp[j, k] = best
             prev[j, k] = arg
-    k_best = int(np.argmin(dp[m, 1:])) + 1  # fewer edges can never help, but be safe
+    if target_overhead is not None:
+        total_true = float(scum[m])
+        k_best = 0
+        for k in range(1, k_max + 1):
+            if dp[m, k] <= target_overhead * total_true:
+                k_best = k
+                break
+        if not k_best:  # target unreachable within max_buckets: best effort
+            k_best = int(np.argmin(dp[m, 1:])) + 1
+    else:
+        k_best = int(np.argmin(dp[m, 1:])) + 1  # fewer edges can never help, but be safe
     edges, j = [], m
     for k in range(k_best, 0, -1):
         edges.append(int(vals[j - 1]))
@@ -145,6 +168,15 @@ class Converter:
         stft_method: str | None = None,  # None -> fastest valid (fused matmul)
         batch_size: int = 8,
         bucket_frames: int = 64,
+        frame_budget: int | None = None,  # rows*frames per dispatch budget.
+        # When set, SHORT buckets take more utterances per dispatch (batch
+        # cap = largest power of two with cap*bucket <= budget, never below
+        # batch_size, <= 128 rows): a 128-frame bucket at the same frame
+        # budget as a 1024-frame batch-8 dispatch carries 64 utterances,
+        # so mixed-length corpora stop paying per-dispatch overhead per
+        # handful of short utterances. Memory/VMEM pressure per dispatch
+        # stays ~constant (rows x frames is the working-set scale). None
+        # keeps the flat batch_size cap for every bucket.
         stats=None,  # SpeakerStats when hps.speaker_norm (z-norm in/out)
         mesh=None,  # shard the utterance batch over the mesh 'data' axis
         feat: str = "lin",  # which features the AE was trained on (lin|mel)
@@ -205,6 +237,7 @@ class Converter:
         self.stft_method = stft_method
         self.batch_size = batch_size
         self.bucket_frames = bucket_frames
+        self.frame_budget = frame_budget
         self.bucket_edges: list[int] | None = None  # set by fit_buckets()
         self.stats = stats
         if gru_impl is None:
@@ -260,15 +293,20 @@ class Converter:
             tb += self.bucket_frames
         return tb
 
-    def fit_buckets(self, frame_lengths, max_buckets: int) -> list[int]:
+    def fit_buckets(
+        self, frame_lengths, max_buckets: int, target_overhead: float | None = None
+    ) -> list[int]:
         """Fit adaptive bucket edges to an observed utterance length
         distribution (frame counts BEFORE padding). Keeps at most
         ``max_buckets`` distinct program shapes — same compile/dispatch
         count as uniform bucketing with that many occupied buckets, less
         padding. Edges stay multiples of ``bucket_frames`` so shapes remain
-        grid-aligned (downsample divides them) and reusable across corpora."""
+        grid-aligned (downsample divides them) and reusable across corpora.
+        ``target_overhead`` picks the smallest edge count meeting a padding
+        budget instead of spending all ``max_buckets`` (see plan_buckets)."""
         self.bucket_edges = plan_buckets(
-            frame_lengths, max_buckets, self.bucket_frames, min_pad=self._MIN_PAD
+            frame_lengths, max_buckets, self.bucket_frames,
+            min_pad=self._MIN_PAD, target_overhead=target_overhead,
         )
         return self.bucket_edges
 
@@ -614,9 +652,10 @@ class Converter:
         for tb, idxs in buckets.items():
             prog = self._wav_encode_program(tb)
             n_samp = tb * hop - 1
-            for c0 in range(0, len(idxs), self.batch_size):
-                chunk = idxs[c0 : c0 + self.batch_size]
-                bs_c = self._chunk_batch(len(chunk))
+            cap_b = self._bucket_cap(tb)
+            for c0 in range(0, len(idxs), cap_b):
+                chunk = idxs[c0 : c0 + cap_b]
+                bs_c = self._chunk_batch(len(chunk), cap_b)
                 pcm = self._pcm_wire_batch(n_samp, bs_c)
                 sm = np.zeros((bs_c, hps.n_feat), np.float32)
                 ss = np.ones((bs_c, hps.n_feat), np.float32)
@@ -687,18 +726,32 @@ class Converter:
 
     # ------------------------------------------------------------- helpers
 
-    def _chunk_batch(self, k: int) -> int:
+    def _bucket_cap(self, tb: int) -> int:
+        """Batch cap for a bucket of ``tb`` frames: the flat batch_size,
+        or — with a frame_budget — the largest power of two whose
+        rows*frames stays within the budget (never below batch_size, at
+        most 128 rows), so short buckets fill each dispatch instead of
+        paying per-dispatch overhead per handful of utterances."""
+        if not self.frame_budget:
+            return self.batch_size
+        cap = 1
+        while cap * 2 * tb <= self.frame_budget and cap * 2 <= 128:
+            cap *= 2
+        return max(cap, self.batch_size)
+
+    def _chunk_batch(self, k: int, cap: int | None = None) -> int:
         """Batch rows for a chunk of ``k`` utterances: smallest power of
-        two >= k, capped at batch_size (so at most log2(batch_size)
+        two >= k, capped at the bucket's cap (so at most log2(cap)
         distinct batch shapes compile per bucket) and rounded up to a
         multiple of the mesh data axis. Dummy rows run the FULL program
         (the vocoder does not mask), so a 3-utterance tail chunk should
         not dispatch a 32-row program — with a handful of adaptive
         buckets the tail chunks are where most dummy FLOPs were."""
+        cap = cap or self.batch_size
         bs = 1
-        while bs < min(k, self.batch_size):
+        while bs < min(k, cap):
             bs *= 2
-        bs = min(bs, self.batch_size)
+        bs = min(bs, cap)
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             bs = -(-bs // n_data) * n_data
@@ -762,9 +815,10 @@ class Converter:
         inflight = []
         for tb, idxs in buckets.items():
             prog = self._program(tb)
-            for c0 in range(0, len(idxs), self.batch_size):
-                chunk = idxs[c0 : c0 + self.batch_size]
-                bs_c = self._chunk_batch(len(chunk))
+            cap_b = self._bucket_cap(tb)
+            for c0 in range(0, len(idxs), cap_b):
+                chunk = idxs[c0 : c0 + cap_b]
+                bs_c = self._chunk_batch(len(chunk), cap_b)
                 spk_mat = np.tile(spk_arr, (1, bs_c))
                 xs = [self._pad_frames(feats_list[i]) for i in chunk]
                 tl = np.full(bs_c, tb, np.int32)
@@ -859,9 +913,10 @@ class Converter:
         for tb, idxs in buckets.items():
             prog = self._wav_program(tb)
             n_samp = tb * hop - 1  # canonical bucket length (pad_to_bucket)
-            for c0 in range(0, len(idxs), self.batch_size):
-                chunk = idxs[c0 : c0 + self.batch_size]
-                bs_c = self._chunk_batch(len(chunk))
+            cap_b = self._bucket_cap(tb)
+            for c0 in range(0, len(idxs), cap_b):
+                chunk = idxs[c0 : c0 + cap_b]
+                bs_c = self._chunk_batch(len(chunk), cap_b)
                 spk_mat = np.tile(spk_arr, (1, bs_c))
                 pcm = self._pcm_wire_batch(n_samp, bs_c)
                 sm = np.zeros((bs_c, hps.n_feat), np.float32)
@@ -943,6 +998,7 @@ def convert_corpus(
     units_only: bool = False,
     progress=None,
     adaptive_buckets: int | None = None,
+    bucket_overhead_target: float | None = None,
 ) -> dict:
     """Corpus-wide conversion + unit extraction (ref --test, SURVEY.md §3.4).
 
@@ -976,7 +1032,10 @@ def convert_corpus(
     bucket_stats = {}
     try:
         if adaptive_buckets:
-            converter.fit_buckets([f.shape[0] for f in feats], adaptive_buckets)
+            converter.fit_buckets(
+                [f.shape[0] for f in feats], adaptive_buckets,
+                target_overhead=bucket_overhead_target,
+            )
             bucket_stats = _bucket_stats(converter, [f.shape[0] for f in feats])
         if units_only:
             units_list = converter.encode_units(feats, src_speakers=srcs)
@@ -1015,6 +1074,7 @@ def convert_wav_dir(
     units_only: bool = False,
     progress=None,
     adaptive_buckets: int | None = None,
+    bucket_overhead_target: float | None = None,
 ) -> dict:
     """Corpus conversion straight from a directory of wavs — the literal
     shape of the reference --test stack (SURVEY.md §3.4 iterates
@@ -1042,7 +1102,9 @@ def convert_wav_dir(
             ys = [trim_silence(y, converter.acfg.top_db) for y in ys]
             trim = False
             true_frames = [dsp_audio.n_frames_for(len(y), converter.acfg) for y in ys]
-            converter.fit_buckets(true_frames, adaptive_buckets)
+            converter.fit_buckets(
+                true_frames, adaptive_buckets, target_overhead=bucket_overhead_target
+            )
             bucket_stats = _bucket_stats(converter, true_frames)
         if units_only:
             units_list = converter.encode_units_from_wavs(ys, trim=trim)
