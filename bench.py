@@ -750,6 +750,7 @@ def main():
     # secondary metric: flagship-size training throughput via the
     # device-resident multi-step path (skipped in --quick to bound runtime)
     train_sps = None
+    train_bf16 = {}
     if not quick:
         import sys as _sys
         import tempfile
@@ -778,12 +779,42 @@ def main():
             _ = float(m["loss_rec"])
             t0 = time.perf_counter()
             st, m = sol.train_many(st, ds, "train", 25)
-            _ = float(m["loss_rec"])
+            loss_f32 = float(m["loss_rec"])
             dt_train = time.perf_counter() - t0
             train_sps = round(25 / dt_train, 1)
+            # matmul-only bf16 probe (VERDICT r3 item 7): params, Adam
+            # moments, GP norms and accumulations stay f32; only the dot
+            # inputs round to bf16 (jax.default_matmul_precision) — the
+            # low-risk half of the rejected all-bf16 TrainState cast. A
+            # fresh Solver so the precision is baked into ITS program
+            # cache only; same data, same init seed, loss recorded for a
+            # drift check (the convergence A/B lives in the demo).
+            if platform == "tpu" and budget_left():
+                try:
+                    with jax.default_matmul_precision("bfloat16"):
+                        sol_bf = Solver(hps.replace(n_speakers=8))
+                        st_bf = sol_bf.init_state(jax.random.PRNGKey(0))
+                        st_bf, m_bf = sol_bf.train_many(st_bf, ds, "train", 25)
+                        _ = float(m_bf["loss_rec"])
+                        t0 = time.perf_counter()
+                        st_bf, m_bf = sol_bf.train_many(st_bf, ds, "train", 25)
+                        loss_bf = float(m_bf["loss_rec"])
+                        dt_bf = time.perf_counter() - t0
+                    train_bf16 = {
+                        "train_steps_per_sec_bf16_matmul": round(25 / dt_bf, 1),
+                        "train_bf16_matmul_speedup": round(dt_train / dt_bf, 3),
+                        "train_loss_rec_25step_f32": round(loss_f32, 5),
+                        "train_loss_rec_25step_bf16_matmul": round(loss_bf, 5),
+                    }
+                except Exception as e:
+                    print(f"bf16-matmul train probe failed: {e!r}", file=_sys.stderr)
+                    train_bf16 = {}
+            else:
+                train_bf16 = {}
         except Exception as e:  # keep the headline metric alive, but say why
             print(f"train-throughput bench failed: {e!r}", file=_sys.stderr)
             train_sps = None
+            train_bf16 = {}
         finally:
             if h5p and os.path.exists(h5p):
                 os.unlink(h5p)
@@ -825,6 +856,11 @@ def main():
             }
             if platform == "tpu":
                 train_mfu["train_mfu_vs_bf16_peak"] = round(fl * train_sps / 197e12, 4)
+                sps_bf = train_bf16.get("train_steps_per_sec_bf16_matmul")
+                if sps_bf:
+                    train_mfu["train_mfu_bf16_matmul"] = round(
+                        fl * sps_bf / 197e12, 4
+                    )
         except Exception as e:
             print(f"train flop count unavailable: {e!r}", file=sys.stderr)
 
@@ -839,6 +875,7 @@ def main():
                 "baseline_desc": "reference CPU numpy Griffin-Lim path (vocoder only, lower bound on ref cost)",
                 "rtf": round(rtf, 2),
                 "train_steps_per_sec": train_sps,
+                **train_bf16,
                 **train_mfu,
                 "platform": platform,
                 "n_utts": n_utts,

@@ -23,34 +23,98 @@ from pathlib import Path
 import numpy as np
 
 
-def make_corpus(root: Path, sr=16000, n_content=8, seconds=1.2):
-    """6 speakers x n_content utterances; speaker = formant filter + gain."""
+# Speaker = a multi-formant vocal tract (resonator cascade) + gain. The
+# formant sets OVERLAP across speakers (~10-15% apart, realistic vowel-space
+# spacing) so speaker identity is learnable but NOT saturating: the round-3
+# single-bandpass speakers were separable enough that every discriminative
+# metric pinned at 1.0 and the stage-2 / pair-objective A/Bs had no dynamic
+# range (VERDICT r3 item 3).
+SPEAKERS = {
+    "S01": ((620, 1660, 2500), 0.42),
+    "S02": ((760, 1480, 2700), 0.52),
+    "S03": ((560, 1840, 2380), 0.46),
+    "S04": ((820, 1340, 2620), 0.38),
+    "V001": ((600, 1760, 2350), 0.60),
+    "V002": ((800, 1400, 2750), 0.45),
+}
+
+# Content-class inventory: every class is a SEQUENCE of the same four
+# "syllables" (f0 multiplier, amplitude shape, relative duration) — classes
+# differ only in syllable ORDER, sharing the full f0/energy range, so they
+# are confusable by construction and discriminating them requires temporal
+# structure, not a per-class pitch shortcut (the round-3 classes had
+# distinct f0s -> ABX 1.0 even pre-training).
+_SYLLS = {  # (f0_mult, attack, rel_dur)
+    "a": (1.00, 0.15, 1.0),
+    "b": (1.35, 0.50, 0.8),
+    "c": (0.80, 0.05, 1.2),
+    "d": (1.18, 0.30, 0.9),
+}
+_CLASSES = [
+    "abc", "acb", "bca", "bac", "cab", "cba",  # permutations of {a,b,c}
+    "abd", "dba", "cda",                       # held-out test classes
+]
+
+
+def _synth_utt(seq: str, tract_sos, gain: float, rng, sr: int) -> np.ndarray:
+    """One utterance: a glottal sawtooth pulse train driven through the
+    speaker's resonator cascade, one syllable at a time, with per-utterance
+    realization jitter (f0 x U(0.92,1.08), per-syllable duration x
+    U(0.85,1.15), noise) so same-class items are near but not identical."""
     import scipy.signal
 
+    f0_base = 118.0 * rng.uniform(0.92, 1.08)
+    segs = []
+    for s in seq:
+        f0m, attack, rel = _SYLLS[s]
+        dur = 0.42 * rel * rng.uniform(0.85, 1.15)
+        n = int(dur * sr)
+        t = np.arange(n) / sr
+        vib = 1 + 0.015 * np.sin(2 * np.pi * 4.0 * t + rng.uniform(0, 2 * np.pi))
+        src = scipy.signal.sawtooth(2 * np.pi * f0_base * f0m * np.cumsum(vib) / sr)
+        env = np.minimum(t / max(attack * dur, 1e-3), 1.0) * np.minimum(
+            (dur - t) / (0.25 * dur), 1.0
+        ).clip(0.0, 1.0)
+        segs.append(src * env)
+    y = np.concatenate(segs) + 0.015 * rng.standard_normal(sum(len(s) for s in segs))
+    y = scipy.signal.sosfilt(tract_sos, y)
+    return (gain * y / (np.abs(y).max() + 1e-9)).astype(np.float32)
+
+
+def _tract_sos(formants, sr):
+    """Vocal-tract filter: cascade of 2nd-order resonators at the formant
+    frequencies (Q tuned to ~90-130 Hz bandwidths), like a source-filter
+    speech model — speaker identity is the filter, content is the source."""
+    import scipy.signal
+
+    sos = []
+    for f in formants:
+        b, a = scipy.signal.iirpeak(f, Q=f / 110.0, fs=sr)
+        sos.append(np.hstack([b, a]))
+    return np.asarray(sos)
+
+
+def make_corpus(root: Path, sr=16000, n_test_classes=3, n_real=2):
+    """6 multi-formant speakers x 9 confusable content classes x ``n_real``
+    jittered realizations. The last ``n_test_classes`` classes are held out
+    entirely (S-speakers only, the ABX/test split): unseen CONTENT in every
+    test item, V-speakers never utter it (targets have no test audio, as in
+    the challenge)."""
+    rng = np.random.default_rng(0)
     from zerospeech_tts_tpu.dsp.wavio import save_wav
 
-    rng = np.random.default_rng(0)
-    speakers = {
-        "S01": (700, 0.35),
-        "S02": (1200, 0.5),
-        "S03": (1800, 0.4),
-        "S04": (2600, 0.55),
-        "V001": (900, 0.6),
-        "V002": (2200, 0.45),
-    }
-    n = int(seconds * sr)
-    t = np.arange(n) / sr
-    for ci in range(n_content):
-        f0 = 110 + 15 * ci
-        vib = 1 + 0.02 * np.sin(2 * np.pi * (2 + 0.3 * ci) * t)
-        src = scipy.signal.square(2 * np.pi * f0 * vib * t) + 0.05 * rng.standard_normal(n)
-        for spk, (formant, gain) in speakers.items():
-            sos = scipy.signal.butter(4, [formant * 0.6, formant * 1.5], "bandpass", fs=sr, output="sos")
-            y = scipy.signal.sosfilt(sos, src)
-            y = gain * y / (np.abs(y).max() + 1e-9)
-            split = "test" if (spk.startswith("S") and ci >= n_content - 2) else "train"
-            save_wav(root / split / f"{spk}_{ci:04d}.wav", y.astype(np.float32), sr)
-    return list(speakers)
+    n_train_classes = len(_CLASSES) - n_test_classes
+    for spk, (formants, gain) in SPEAKERS.items():
+        sos = _tract_sos(formants, sr)
+        for ci, seq in enumerate(_CLASSES):
+            test = ci >= n_train_classes
+            if test and spk.startswith("V"):
+                continue
+            for r in range(n_real):
+                y = _synth_utt(seq, sos, gain, rng, sr)
+                split = "test" if test else "train"
+                save_wav(root / split / f"{spk}_{ci:04d}r{r}.wav", y, sr)
+    return list(SPEAKERS)
 
 
 def spectral_envelope(h5path, split, spk):
@@ -76,12 +140,17 @@ def main():
     ap.add_argument("--lambda-pair", type=float, default=None,
                     help="pair-objective weight (default: Hps default; 0 = off, "
                          "the unit-stability A/B baseline)")
+    ap.add_argument("--matmul-bf16", action="store_true",
+                    help="train with bf16-rate matmuls, f32 everything else "
+                         "(the matmul-precision A/B: same gates must pass)")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.matmul_bf16:
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     try:  # compile-bound host: reuse programs across demo runs
         jax.config.update("jax_compilation_cache_dir", "/tmp/zstts_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -98,7 +167,7 @@ def main():
     work = Path(args.out or tempfile.mkdtemp(prefix="zs_demo_"))
     corpus = work / "corpus"
     print(f"== workdir {work}")
-    make_corpus(corpus)
+    corpus_speakers = make_corpus(corpus)
 
     acfg = AudioConfig(gl_iters=60)
     hps = Hps(
@@ -128,6 +197,10 @@ def main():
     ds = DeviceDataset.from_h5(work / "ds.h5", hps, target_speakers=["V001", "V002"])
     sol = Solver(hps)
     state = sol.init_state(jax.random.PRNGKey(0))
+    # pre-training encoder: the ABX-improvement baseline. Deep-copied —
+    # the solver's jitted steps DONATE the state, so state.enc's buffers
+    # are deleted after the first train_many dispatch.
+    enc_init = jax.tree.map(jax.numpy.copy, state.enc)
 
     report = {"iters": args.iters}
     _, m0 = sol.train_many(jax.tree.map(jax.numpy.copy, state), ds, "pretrain_AE", 1)
@@ -167,7 +240,10 @@ def main():
 
     from zerospeech_tts_tpu.dsp import audio as dsp_audio
 
-    env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in ("V001", "V002")}
+    # mean train-split envelope of EVERY speaker: target accuracy is a 6-way
+    # speaker identification (argmin over all speakers), not the saturating
+    # 2-way V001-vs-V002 choice (chance 1/6, not 1/2 — VERDICT r3 item 3)
+    env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in corpus_speakers}
 
     # ONE Converter for the whole demo: its compiled programs take enc/dec
     # params as arguments, so swapping params in reuses every program the
@@ -183,14 +259,12 @@ def main():
         )
         d_tgt_all, sharp_all, hits, total = [], [], 0, 0
         for k, tgt in enumerate(("V001", "V002")):
-            other = "V002" if tgt == "V001" else "V001"
             for wav in w[k]:
                 _, lin = dsp_audio.get_spectrograms(wav.astype(np.float32) / 32767.0, acfg)
                 e = lin.mean(axis=0)
-                d_t = float(np.linalg.norm(e - env[tgt]))
-                d_o = float(np.linalg.norm(e - env[other]))
-                d_tgt_all.append(d_t)
-                hits += int(d_t < d_o)
+                d = {s: float(np.linalg.norm(e - env[s])) for s in env}
+                d_tgt_all.append(d[tgt])
+                hits += int(min(d, key=d.get) == tgt)
                 total += 1
                 # spectral sharpness: mean |temporal derivative| of the lin
                 # spectrogram — the blur the L1-trained decoder leaves and
@@ -239,14 +313,18 @@ def main():
     # file dump + item-file loader, exercising the `zstts eval --abx` path.
     from zerospeech_tts_tpu.convert import write_units
 
-    units_dir = work / "units"
-    item_lines = []
-    for utt, u in zip(names, units):
-        write_units(units_dir / f"{utt}.txt", u)
-        spk, ci = utt.rsplit("_", 1)
-        item_lines.append(f"{utt} 0 {u.shape[0]} c{int(ci)} {spk}")
-    item_file = work / "abx_items.txt"
-    item_file.write_text("# utt start end cls spk\n" + "\n".join(item_lines) + "\n")
+    def _abx_of(units_list, subdir):
+        units_dir = work / subdir
+        item_lines = []
+        for utt, u in zip(names, units_list):
+            write_units(units_dir / f"{utt}.txt", u)
+            spk, rest = utt.rsplit("_", 1)
+            ci = int(rest.split("r")[0])  # '0006r1' -> class 6
+            item_lines.append(f"{utt} 0 {u.shape[0]} c{ci} {spk}")
+        item_file = work / f"{subdir}_items.txt"
+        item_file.write_text("# utt start end cls spk\n" + "\n".join(item_lines) + "\n")
+        items = ev.load_abx_items(item_file, units_dir)
+        return ev.abx_discriminability(items, across_speaker=True)
 
     # unit stability under window shifts — the property the pair objective
     # trains for (lambda_pair=0 gives the A/B baseline)
@@ -256,10 +334,18 @@ def main():
         sol, state, work / "ds.h5", hps, split="test", n_utts=8
     )["unit_stability"]
 
-    abx_items = ev.load_abx_items(item_file, units_dir)
-    abx = ev.abx_discriminability(abx_items, across_speaker=True)
+    abx = _abx_of(units, "units")
     report["abx"] = abx["abx"]
     report["abx_n_contexts"] = abx["n_contexts"]
+    # ABX of the UNTRAINED encoder on the same items: the corpus is built so
+    # this lands well below the trained score (confusable content classes —
+    # VERDICT r3 item 3: a saturated ABX proves execution, not learning)
+    conv.enc_params = enc_init
+    units_init = conv.encode_units(feats, src_speakers=src_spks)
+    conv.enc_params = state.enc
+    abx0 = _abx_of(units_init, "units_init")
+    report["abx_initial"] = abx0["abx"]
+    report["abx_delta"] = round(abx["abx"] - abx0["abx"], 4)
 
     report["target_envelope_accuracy"] = post["target_envelope_accuracy"]
     report["wall_seconds"] = round(time.time() - t_start, 1)
@@ -279,12 +365,17 @@ def main():
         and report["clf_acc_after_pretrain"] >= 1.05 / hps.n_speakers
         # ...and the adversarial phase must push it back toward/below chance
         and report["clf_acc_final"] <= report["clf_acc_after_pretrain"]
+        # 6-way speaker ID of the converted audio (chance 1/6): the output
+        # must land closer to the intended target's envelope than to ANY
+        # of the 6 speakers', for at least half the conversions
         and report["target_envelope_accuracy"] >= 0.5
         # stage-2 health: the critic's W-distance estimate stays finite
         # (GP keeps it bounded), and units discriminate held-out content
-        # classes above chance
+        # classes above chance AND above the untrained encoder (the corpus
+        # is built confusable so neither is automatic)
         and all(np.isfinite(v) for v in report["stage2_w_dist_trend"])
         and report["abx"] > 0.55
+        and report["abx_delta"] > 0
     )
     print("CONVERGENCE:", "PASS" if ok else "WEAK")
     return 0 if ok else 1

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Pair-objective A/B: run the convergence demo with the stage-1
+same-utterance pair objective ON (lambda_pair = Hps default 0.1) and OFF
+(lambda_pair = 0), and compose docs/pair_objective_ab.json from the two
+reports.
+
+The pair objective is the reference dataloader's stage-1 contract (SURVEY
+§2 "Data loader", grade H on the pair's existence): two windows of the
+same utterance must map to consistent units. On the round-3 tonal corpus
+every discriminative metric saturated; the round-4 corpus (confusable
+content classes, overlapping formant speakers — examples/convergence_demo
+make_corpus) leaves ABX and unit stability with dynamic range, so the A/B
+is actually informative.
+
+Usage: python tools/pair_ab.py [--iters 600] [--out docs/pair_objective_ab.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+FIELDS = [
+    "loss_rec_after_ae",
+    "loss_rec_final",
+    "clf_acc_after_pretrain",
+    "clf_acc_final",
+    "units_active_fraction",
+    "unit_stability",
+    "abx",
+    "abx_initial",
+    "abx_delta",
+    "target_envelope_accuracy",
+]
+
+
+def run_demo(iters: int, lambda_pair: float | None, tag: str) -> dict:
+    report = Path(tempfile.mkdtemp(prefix=f"zs_pair_ab_{tag}_")) / "report.json"
+    cmd = [
+        sys.executable,
+        str(REPO / "examples" / "convergence_demo.py"),
+        "--iters",
+        str(iters),
+        "--report",
+        str(report),
+    ]
+    if lambda_pair is not None:
+        cmd += ["--lambda-pair", str(lambda_pair)]
+    print(f"== {tag}: {' '.join(cmd)}", flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+    return json.loads(report.read_text())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--out", default=str(REPO / "docs" / "pair_objective_ab.json"))
+    args = ap.parse_args()
+
+    t0 = time.time()
+    on = run_demo(args.iters, None, "pair_on")
+    off = run_demo(args.iters, 0.0, "pair_off")
+
+    doc = {
+        "what": (
+            "convergence demo A/B of the stage-1 same-utterance pair "
+            f"objective (lambda_pair 0.1 vs 0), {args.iters} iters, "
+            "6 multi-formant speakers x 9 confusable content classes "
+            "(examples/convergence_demo.py make_corpus)"
+        ),
+        "pair_on": {k: on[k] for k in FIELDS if k in on},
+        "pair_off": {k: off[k] for k in FIELDS if k in off},
+        "deltas_on_minus_off": {
+            k: round(float(on[k]) - float(off[k]), 4)
+            for k in FIELDS
+            if k in on and k in off
+        },
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
+    print(json.dumps(doc, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,6 +100,13 @@ def pallas_gru_scan(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if lengths is not None and not reverse:
+        raise NotImplementedError(
+            "masked pallas_gru_scan implements the REVERSED padded-bucket "
+            "semantics only (mask positions are computed right-to-left); "
+            "forward scans over padded buckets don't need masking — pad "
+            "steps trail the true tail and their outputs are discarded."
+        )
     b, t, h3 = xw.shape
     h = h3 // 3
     assert wh.shape == (h, h3) and bh.shape == (h3,), (xw.shape, wh.shape, bh.shape)
