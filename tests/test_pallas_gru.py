@@ -188,6 +188,84 @@ def test_encoder_decoder_gru_impl(tiny):
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
 
 
+def _rand_tame(b, t, h):
+    """Like _rand but with a contractive-ish wh (spectral norm ~1.5): the
+    BACKWARD recurrence amplifies by ||wh|| per step, so gradient
+    comparisons need a realistically-scaled weight (orthogonal init in the
+    real model has norm 1), not the adversarial 0.3*N(0,1) at h=128
+    (norm ~9) used for the forward tests."""
+    rng = np.random.default_rng(11)
+    xw = rng.standard_normal((b, t, 3 * h)).astype(np.float32)
+    wh = (0.05 * rng.standard_normal((h, 3 * h))).astype(np.float32)
+    bh = (0.1 * rng.standard_normal(3 * h)).astype(np.float32)
+    return xw, wh, bh
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_grad_matches_scan_oracle(reverse):
+    """The custom-VJP backward kernel (training path) against jax.grad of
+    the lax.scan oracle — dxw, dwh, dbh all within float tolerance."""
+    from zerospeech_tts_tpu.ops.pallas_gru import gru_scan_diff
+
+    xw, wh, bh = _rand_tame(8, 24, 128)
+    ct = np.random.default_rng(12).standard_normal((8, 24, 128)).astype(np.float32)
+
+    def loss_p(*a):
+        return jnp.sum(gru_scan_diff(reverse, *a) * ct)
+
+    def loss_r(*a):
+        return jnp.sum(_scan_oracle(*a, reverse=reverse) * ct)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(xw, wh, bh)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(xw, wh, bh)
+    for name, a, b in zip(("dxw", "dwh", "dbh"), gp, gr):
+        scale = float(jnp.abs(b).max()) + 1e-9
+        err = float(jnp.abs(a - b).max()) / scale
+        assert err < 1e-5, (name, err)
+
+
+def test_grad_masked_forward_rejected():
+    """Masked+forward is not a thing the kernel implements — it must fail
+    loudly, not silently mis-mask."""
+    from zerospeech_tts_tpu.ops.pallas_gru import pallas_gru_scan
+
+    xw, wh, bh = _rand_tame(8, 16, 128)
+    with pytest.raises(NotImplementedError):
+        pallas_gru_scan(xw, wh, bh, np.full(8, 16, np.int32), reverse=False)
+
+
+def test_module_param_grads_both_impls():
+    """jax.grad through the GRU module: parameter gradients via the Pallas
+    custom VJP match the scan impl (the solver trains through this path)."""
+    x = np.random.default_rng(5).standard_normal((8, 24, 64)).astype(np.float32)
+    m_scan, m_pal = GRU(128, impl="scan"), GRU(128, impl="pallas")
+    p = m_scan.init(jax.random.PRNGKey(0), x)
+
+    def loss(m):
+        return lambda p: jnp.sum(jnp.square(m.apply(p, x)))
+
+    g1 = jax.grad(loss(m_scan))(p)
+    g2 = jax.grad(loss(m_pal))(p)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1)
+    flat2, _ = jax.tree_util.tree_flatten_with_path(g2)
+    for (k1, a), (_, b) in zip(flat1, flat2):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        err = float(jnp.abs(a - b).max()) / scale
+        assert err < 1e-4, (jax.tree_util.keystr(k1), err)
+
+
+def test_solver_gru_impl_explicit():
+    """Solver(gru_impl=...) plumbs through; auto on CPU resolves to scan."""
+    from zerospeech_tts_tpu.train import Solver
+
+    hps = Hps(
+        seg_len=32, n_feat=129, emb_size=256, spk_emb_size=32, n_speakers=4,
+        bank_channels=32, conv_channels=128,
+    )
+    assert Solver(hps).encoder.gru_impl == "scan"  # cpu auto
+    assert Solver(hps, gru_impl="pallas").decoder.gru_impl == "pallas"
+
+
 def test_converter_gru_impl_units_and_audio(tiny):
     """Full conversion programs under both impls: identical units (the
     challenge artifact — encoder f32 scan vs f32 pallas agree here), audio

@@ -28,6 +28,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 FIELDS = [
+    "convergence_gate",
     "loss_rec_after_ae",
     "loss_rec_final",
     "clf_acc_after_pretrain",
@@ -54,8 +55,15 @@ def run_demo(iters: int, lambda_pair: float | None, tag: str) -> dict:
     if lambda_pair is not None:
         cmd += ["--lambda-pair", str(lambda_pair)]
     print(f"== {tag}: {' '.join(cmd)}", flush=True)
-    subprocess.run(cmd, check=True, cwd=REPO)
-    return json.loads(report.read_text())
+    # exit 1 = the demo's convergence gate judged the run WEAK. For an A/B
+    # that is a RESULT (e.g. lambda_pair=0 fails the speaker-leakage gate),
+    # not a tool failure — record it, don't crash.
+    proc = subprocess.run(cmd, cwd=REPO)
+    if not report.exists():
+        raise RuntimeError(f"{tag}: demo produced no report (rc={proc.returncode})")
+    out = json.loads(report.read_text())
+    out["convergence_gate"] = "PASS" if proc.returncode == 0 else "WEAK"
+    return out
 
 
 def main() -> int:
@@ -80,7 +88,7 @@ def main() -> int:
         "deltas_on_minus_off": {
             k: round(float(on[k]) - float(off[k]), 4)
             for k in FIELDS
-            if k in on and k in off
+            if isinstance(on.get(k), (int, float)) and isinstance(off.get(k), (int, float))
         },
         "wall_seconds": round(time.time() - t0, 1),
     }

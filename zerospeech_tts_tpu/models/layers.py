@@ -117,16 +117,19 @@ class GRU(nn.Module):
 
         if self.impl == "pallas":
             from zerospeech_tts_tpu.ops.pallas_gru import (
+                gru_scan_diff,
                 pallas_gru_scan,
                 pallas_gru_supported,
             )
 
             if pallas_gru_supported(b, t, h, xw.dtype):
-                return pallas_gru_scan(
-                    xw, wh, bh,
-                    lengths if (self.reverse and lengths is not None) else None,
-                    reverse=self.reverse,
-                )
+                if self.reverse and lengths is not None:
+                    # masked reversed scan (padded conversion buckets):
+                    # inference-only — never differentiated
+                    return pallas_gru_scan(xw, wh, bh, lengths, reverse=True)
+                # custom-VJP wrapper: train steps differentiate through
+                # the kernel (Pallas backward kernel in ops/pallas_gru)
+                return gru_scan_diff(self.reverse, xw, wh, bh)
             # unsupported shape (e.g. batch 1): fall through to the scan
 
         if self.reverse:

@@ -185,3 +185,157 @@ def pallas_gru_scan(
     if reverse:
         ys = jnp.flip(ys, axis=1)
     return ys
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: custom VJP with a Pallas BACKWARD kernel, so the
+# TRAINING path (solver steps differentiate through encoder BiGRU + decoder
+# GRU) gets the whole-recurrence kernel too, not just conversion.
+#
+# Backward math (reverse-time recurrence; recompute r/z/n from the saved
+# forward outputs instead of stashing per-step activations):
+#
+#   hw     = h_{t-1} @ wh + bh
+#   r,z    = sig(xw_r + hw_r), sig(xw_z + hw_z);  n = tanh(xw_n + r hw_n)
+#   dh_t  += dys_t                      (carry from t+1 starts at 0)
+#   dn^    = dh (1-z) (1-n^2)           (pre-activation n grad)
+#   dz^    = dh (h_{t-1}-n) z (1-z)
+#   dr^    = dn^ hw_n r (1-r)
+#   dxw_t  = [dr^, dz^, dn^]
+#   dhw    = [dr^, dz^, dn^ r]
+#   dh_{t-1} = dh z + dhw @ wh^T
+#   dwh   += h_{t-1}^T @ dhw;   dbh += sum_B dhw
+#
+# The grid walks time blocks BACK-TO-FRONT (index map G-1-i); dh is an f32
+# VMEM scratch carried across grid steps; dwh/dbh accumulate directly in
+# their (constant-index-map) output blocks, zeroed at grid step 0. h_{t-1}
+# slabs are ys shifted right by one step (materialized outside — a block
+# cannot read its left neighbour's last row).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("t_block", "interpret"))
+def _gru_bwd_call(xw, wh, bh, ys, dys, *, t_block: int = 8, interpret: bool | None = None):
+    """Backward pass of the unmasked forward-time scan.
+
+    Returns (dxw [B,T,3H], dwh f32 [H,3H], dbh f32 [3H]).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, h3 = xw.shape
+    h = h3 // 3
+    # xw + dxw (3H each) + hprev + dys (H each): 8H f32-equivalent per row
+    tb = _pick_t_block(t, t_block, row_bytes=b * 8 * h * 4)
+    grid = t // tb
+    w_dt = wh.dtype
+
+    hprev = jnp.concatenate(
+        [jnp.zeros((b, 1, h), ys.dtype), ys[:, :-1, :]], axis=1
+    )
+    xw_tm = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
+    hprev_tm = jnp.swapaxes(hprev, 0, 1)
+    dys_tm = jnp.swapaxes(dys, 0, 1)
+    bh2 = bh.reshape(1, h3).astype(jnp.float32)
+    whT = jnp.swapaxes(wh, 0, 1)  # [3H, H]
+
+    def kernel(xw_ref, wh_ref, whT_ref, bh_ref, hp_ref, dy_ref,
+               dxw_ref, dwh_ref, dbh_ref, dh_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dh_ref[:] = jnp.zeros_like(dh_ref)
+            dwh_ref[:] = jnp.zeros_like(dwh_ref)
+            dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+        for ti in range(tb - 1, -1, -1):
+            hprev_t = hp_ref[ti].astype(jnp.float32)
+            hw = (
+                jnp.dot(hp_ref[ti].astype(w_dt), wh_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bh_ref[:]
+            )
+            xw_t = xw_ref[ti].astype(jnp.float32)
+            r = jax.nn.sigmoid(xw_t[:, :h] + hw[:, :h])
+            z = jax.nn.sigmoid(xw_t[:, h : 2 * h] + hw[:, h : 2 * h])
+            n = jnp.tanh(xw_t[:, 2 * h :] + r * hw[:, 2 * h :])
+
+            dh = dh_ref[:] + dy_ref[ti].astype(jnp.float32)
+            dn_pre = dh * (1.0 - z) * (1.0 - n * n)
+            dz_pre = dh * (hprev_t - n) * z * (1.0 - z)
+            dr_pre = dn_pre * hw[:, 2 * h :] * r * (1.0 - r)
+            dxw_t = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=1)
+            dhw = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=1)
+
+            dxw_ref[ti] = dxw_t.astype(dxw_ref.dtype)
+            dh_ref[:] = dh * z + jnp.dot(
+                dhw.astype(w_dt), whT_ref[:], preferred_element_type=jnp.float32
+            )
+            # h_{t-1}^T @ dhw without a vector transpose: contract the
+            # batch axis of both operands
+            dwh_ref[:] += jax.lax.dot_general(
+                hprev_t.astype(w_dt), dhw.astype(w_dt),
+                ((( 0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dbh_ref[:] += jnp.sum(dhw, axis=0, keepdims=True)
+
+    rev = lambda i: (grid - 1 - i, 0, 0)  # noqa: E731
+    dxw_tm, dwh, dbh2 = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tb, b, h3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h3, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, b, h), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, b, h3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h3), xw.dtype),
+            jax.ShapeDtypeStruct((h, h3), jnp.float32),
+            jax.ShapeDtypeStruct((1, h3), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+        interpret=interpret,
+    )(xw_tm, wh, whT, bh2, hprev_tm, dys_tm)
+
+    return jnp.swapaxes(dxw_tm, 0, 1), dwh, dbh2.reshape(h3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gru_scan_diff(reverse: bool, xw, wh, bh):
+    """Differentiable whole-recurrence GRU scan (unmasked).
+
+    Same forward as ``pallas_gru_scan(..., lengths=None)``; gradients run
+    through the Pallas backward kernel above. Used by models.layers.GRU so
+    the solver's train steps keep the kernel (masked conversion buckets
+    stay on the non-diff path — they are never differentiated).
+    """
+    return pallas_gru_scan(xw, wh, bh, None, reverse=reverse)
+
+
+def _gru_diff_fwd(reverse, xw, wh, bh):
+    ys = pallas_gru_scan(xw, wh, bh, None, reverse=reverse)
+    return ys, (xw, wh, bh, ys)
+
+
+def _gru_diff_bwd(reverse, res, dys):
+    xw, wh, bh, ys = res
+    if reverse:
+        # forward ran scan_fwd on flip(xw) then flipped the outputs back:
+        # conjugate the backward by the same flips
+        xw, ys, dys = (jnp.flip(a, axis=1) for a in (xw, ys, dys))
+    dxw, dwh, dbh = _gru_bwd_call(xw, wh, bh, ys, dys)
+    if reverse:
+        dxw = jnp.flip(dxw, axis=1)
+    return dxw, dwh.astype(wh.dtype), dbh.astype(bh.dtype)
+
+
+gru_scan_diff.defvjp(_gru_diff_fwd, _gru_diff_bwd)

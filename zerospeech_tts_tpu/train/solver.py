@@ -69,10 +69,32 @@ def _acc(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 class Solver:
     """Owns the four modules + four Adam optimizers (ref Solver.__init__)."""
 
-    def __init__(self, hps: Hps):
+    def __init__(self, hps: Hps, gru_impl: str | None = None):
         self.hps = hps
-        self.encoder = Encoder(hps)
-        self.decoder = Decoder(hps)
+        if gru_impl is None:
+            # auto: whole-recurrence Pallas GRU kernel on TPU (training
+            # differentiates through it via the custom-VJP backward kernel
+            # in ops/pallas_gru — same params, same math up to matmul
+            # reassociation; ZSTTS_NO_PALLAS_GRU=1 opts out, matching the
+            # Converter). Unsupported shapes fall back to lax.scan inside
+            # models.layers.GRU.
+            import os
+
+            # single chip only: the jitted train steps rely on XLA to
+            # partition over a multi-device mesh, and pallas_call is not
+            # auto-partitionable — multichip training keeps the scan
+            # (the sharded CONVERSION path routes Pallas through an
+            # explicit shard_map instead; see convert.py)
+            gru_impl = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and not os.environ.get("ZSTTS_NO_PALLAS_GRU")
+                else "scan"
+            )
+        assert gru_impl in ("scan", "pallas"), gru_impl
+        self.encoder = Encoder(hps, gru_impl=gru_impl)
+        self.decoder = Decoder(hps, gru_impl=gru_impl)
         self.classifier = SpeakerClassifier(hps)
         self.discriminator = PatchDiscriminator(hps)
         self.tx = optax.chain(
