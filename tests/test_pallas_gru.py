@@ -254,6 +254,22 @@ def test_module_param_grads_both_impls():
         assert err < 1e-4, (jax.tree_util.keystr(k1), err)
 
 
+def test_kernels_pin_matmul_precision():
+    """A global --matmul-precision float32 override must not leak into the
+    Pallas kernels: their dots pin Precision.DEFAULT explicitly (Mosaic
+    rejects contract_precision<fp32> on bf16 vectors — seen on hardware).
+    Semantics check here: same outputs under the global override."""
+    from zerospeech_tts_tpu.ops.pallas_gru import gru_scan_diff
+
+    xw, wh, bh = _rand_tame(8, 16, 128)
+    base = gru_scan_diff(False, xw, wh, bh)
+    with jax.default_matmul_precision("float32"):
+        over = gru_scan_diff(False, xw, wh, bh)
+        g = jax.grad(lambda *a: jnp.sum(gru_scan_diff(False, *a)))(xw, wh, bh)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(over))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_solver_gru_impl_explicit():
     """Solver(gru_impl=...) plumbs through; auto on CPU resolves to scan."""
     from zerospeech_tts_tpu.train import Solver

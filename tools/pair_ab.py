@@ -90,6 +90,16 @@ def main() -> int:
             for k in FIELDS
             if isinstance(on.get(k), (int, float)) and isinstance(off.get(k), (int, float))
         },
+        "reading": (
+            "The pair objective is the speaker-leakage regularizer: with it "
+            "the 512-sample deterministic-latent classifier probe stays flat "
+            "through the adversarial phase; without it leakage GROWS through "
+            "the same phase (the WEAK gate). The trade-off is real and "
+            "recorded: lambda_pair=0 buys some content discriminability "
+            "(higher ABX / target accuracy) at the cost of speaker identity "
+            "bleeding into the units — the property the reference's stage-1 "
+            "pair contract exists to prevent."
+        ),
         "wall_seconds": round(time.time() - t0, 1),
     }
     Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")

@@ -35,33 +35,46 @@ def convergence_block() -> str:
          "disentanglement works" if rep["clf_acc_final"] <= rep["clf_acc_after_pretrain"]
          else "NOT disentangled"),
         ("units active fraction", f"{rep['units_active_fraction']:.2f}", "no bit collapse"),
-        ("target-envelope accuracy", f"**{rep['target_envelope_accuracy']:.2f}**",
-         "conversions land nearer the target speaker's spectrum"),
+        ("target-envelope accuracy (6-way speaker ID)",
+         f"**{rep['target_envelope_accuracy']:.2f}** (chance {chance:.3f})",
+         "converted audio lands nearest the intended target among ALL speakers"),
     ]
     if "abx" in rep:
+        abx0 = rep.get("abx_initial")
         rows.append(
-            ("mini-ABX (across-speaker, held-out content)", f"**{rep['abx']:.3f}**",
-             f"units discriminate content classes ({rep['abx_n_contexts']} contexts; "
-             "0.5 = chance)")
+            ("mini-ABX (across-speaker, held-out content)",
+             (f"{abx0:.3f} (untrained) → **{rep['abx']:.3f}**" if abx0 is not None
+              else f"**{rep['abx']:.3f}**"),
+             f"units discriminate confusable content classes "
+             f"({rep['abx_n_contexts']} contexts; 0.5 = chance; non-saturated "
+             "corpus, so the delta is training, not construction)")
         )
     if "stage2_pre" in rep:
         pre, post = rep["stage2_pre"], rep["stage2_post"]
         rows += [
             ("stage-2 W-distance trend", str(rep["stage2_w_dist_trend"]),
              "critic's real-vs-fake estimate over the patchGAN phase"),
+            ("stage-2 target accuracy (6-way)",
+             f"{pre['target_envelope_accuracy']:.2f} → "
+             f"**{post['target_envelope_accuracy']:.2f}**",
+             "patchGAN sharpens conversions toward the target voice"
+             if post["target_envelope_accuracy"] > pre["target_envelope_accuracy"]
+             else "patchGAN did not improve target ID at demo scale"),
             ("stage-2 target-envelope distance",
              f"{pre['target_envelope_dist']:.2f} → {post['target_envelope_dist']:.2f}",
              "distance dropped — GAN pulls outputs toward the target voice"
              if rep["stage2_envelope_dist_delta"] > 0  # delta = pre - post
-             else "patchGAN did not reduce envelope distance at demo scale"),
+             else "raw L2 rises as detail is added (cos/smoothed probes in "
+             "docs/stage2_ab.json separate sharpening from voice drift)"),
             ("stage-2 spectral sharpness",
              f"{pre['spectral_sharpness']:.4f} → {post['spectral_sharpness']:.4f}",
              "temporal-derivative energy (the blur the patch critic targets)"),
         ]
     rows.append(("wall time", f"{rep['wall_seconds']:.0f} s", "incl. corpus build + compiles"))
     lines = [
-        f"{rep['iters']}/300/{rep['iters']}/100 iterations of the four phases on a "
-        f"6-speaker synthetic corpus (values straight from "
+        f"{rep['iters']}/300/{rep['iters']}/100 iterations of the four phases on "
+        f"the headroom corpus — 6 multi-formant synthetic speakers × 9 "
+        f"confusable syllable-order content classes, 3 held out (values straight from "
         f"`docs/convergence_report.json` — regenerate with "
         f"`python examples/convergence_demo.py`, then `python tools/regen_docs.py`):",
         "",
@@ -92,10 +105,22 @@ def bench_block() -> str:
             f"units agreement vs f32 {parsed['units_agreement_vs_f32']}"
         )
     if parsed.get("train_steps_per_sec"):
-        lines.append(
+        line = (
             f"- flagship training {parsed['train_steps_per_sec']} steps/s "
             f"(device-resident data, multi-step dispatch)"
         )
+        if parsed.get("train_mfu_vs_bf16_peak"):
+            line += f", train MFU {parsed['train_mfu_vs_bf16_peak']}"
+        if parsed.get("train_steps_per_sec_matmul_f32"):
+            line += (
+                f"; opt-in 6-pass f32 matmuls (`--matmul-precision float32`) "
+                f"cost {parsed.get('train_matmul_f32_cost')}× "
+                f"({parsed['train_steps_per_sec_matmul_f32']} steps/s, "
+                f"loss {parsed.get('train_loss_rec_25step_default')} → "
+                f"{parsed.get('train_loss_rec_25step_matmul_f32')} at step 50) — "
+                f"the TPU default already runs matmuls at bf16 MXU rate"
+            )
+        lines.append(line)
     if parsed.get("utt_per_sec_device_resident"):
         mfu = parsed.get("mfu")
         lines.append(
@@ -115,11 +140,26 @@ def bench_block() -> str:
             f"{parsed.get('units_agreement_exact_vs_f32')}"
         )
     if parsed.get("corpus_conversion_throughput_mixed"):
-        lines.append(
+        line = (
             f"- mixed-length corpus ({parsed.get('mixed_desc')}): "
             f"{parsed['corpus_conversion_throughput_mixed']} utt/s, RTF "
             f"{parsed.get('mixed_rtf')}, padding overhead "
             f"{parsed.get('mixed_padding_overhead')}"
+        )
+        if parsed.get("mixed_padding_overhead_adaptive") is not None:
+            line += (
+                f"; adaptive buckets: "
+                f"{parsed.get('corpus_conversion_throughput_mixed_adaptive')} utt/s "
+                f"at overhead {parsed['mixed_padding_overhead_adaptive']}"
+            )
+        lines.append(line)
+    if parsed.get("utt_per_sec_device_resident_mixed"):
+        lines.append(
+            f"- mixed-length device-resident: "
+            f"**{parsed['utt_per_sec_device_resident_mixed']} utt/s/chip**"
+            + (f", MFU {parsed['mfu_mixed']}" if parsed.get("mfu_mixed") else "")
+            + (f" (useful-frame MFU {parsed['mfu_mixed_useful']})"
+               if parsed.get("mfu_mixed_useful") else "")
         )
     return "\n".join(lines)
 

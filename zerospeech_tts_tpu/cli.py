@@ -41,11 +41,15 @@ def _common(p: argparse.ArgumentParser):
                    help="capture a jax.profiler trace into DIR (SURVEY.md §5 tracing)")
     p.add_argument("--check-numerics", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf)")
-    p.add_argument("--matmul-bf16", action="store_true",
-                   help="run every matmul's inputs at bf16 MXU rate while "
-                        "params, Adam moments and accumulations stay f32 "
-                        "(jax.default_matmul_precision); measured ~speedup "
-                        "and loss drift in docs/performance.md")
+    p.add_argument("--matmul-precision", default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32", "highest"],
+                   help="override jax_default_matmul_precision. NOTE: on TPU "
+                        "the DEFAULT already runs f32 matmuls at bf16 MXU "
+                        "rate (1 pass — verified numerics-identical to an "
+                        "explicit 'bfloat16' on v5e), so there is no faster "
+                        "setting; 'float32'/'highest' buy 6-pass f32 "
+                        "accuracy at ~2.8x the matmul cost (measured cost "
+                        "in docs/performance.md)")
     p.add_argument("--allow-schema-migration", action="store_true",
                    help="accept checkpoints written by an older TrainState "
                         "schema (missing fields filled from init); default "
@@ -295,8 +299,8 @@ def _setup_platform(args):
         pass  # default env platform
     if getattr(args, "check_numerics", False):
         jax.config.update("jax_debug_nans", True)
-    if getattr(args, "matmul_bf16", False):
-        jax.config.update("jax_default_matmul_precision", "bfloat16")
+    if getattr(args, "matmul_precision", None):
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     # multi-host: no-op unless the JAX cluster env vars are present
     # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)
     from zerospeech_tts_tpu.parallel import initialize

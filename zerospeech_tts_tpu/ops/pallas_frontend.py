@@ -58,10 +58,10 @@ def _padded_constants(cfg: AudioConfig):
 
 def _kernel(seg_ref, ca_ref, sa_ref, mel_ref, mel_out_ref, mag_out_ref, *, ref_db, max_db):
     seg = seg_ref[:]
-    re = jnp.dot(seg, ca_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(seg, sa_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(seg, ca_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+    im = jnp.dot(seg, sa_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     mag = jnp.sqrt(re * re + im * im + 1e-12)
-    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
     def db_norm(x):
         db = 20.0 * jnp.log10(jnp.maximum(1e-5, x))

@@ -237,9 +237,9 @@ def _gl_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
         imaginary contribution (zero-phase init)."""
         accj = jnp.zeros((ts + r - 1, hop), jnp.float32)
         for k in range(r):
-            chunk = jnp.dot(sre16, cs_ref[k], preferred_element_type=jnp.float32)
+            chunk = jnp.dot(sre16, cs_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
             if sim16 is not None:
-                chunk += jnp.dot(sim16, ss_ref[k], preferred_element_type=jnp.float32)
+                chunk += jnp.dot(sim16, ss_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
             cp = jnp.pad(chunk, ((0, r - 1), (0, 0)))  # uniform pad: same layout all k
             accj += pltpu.roll(cp, k, 0) if k else cp  # wrapped rows are the zero pad
         acc_ref[j0 : j0 + ts + r - 1, :] += accj
@@ -250,8 +250,8 @@ def _gl_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_ref,
         im = jnp.zeros_like(re)
         for k in range(r):
             seg = jax.lax.slice(x16, (j0 + k, 0), (j0 + k + ts, hop))
-            re += jnp.dot(seg, ca_ref[k], preferred_element_type=jnp.float32)
-            im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32)
+            re += jnp.dot(seg, ca_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+            im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         return re, im
 
     def foreach_mag_tile(process):
@@ -378,9 +378,9 @@ def _gl_v4_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_r
     def synth(sre, sim):
         accj = jnp.zeros((tb + r - 1, hp), jnp.float32)
         for k in range(r):
-            chunk = jnp.dot(sre, cs_ref[k], preferred_element_type=jnp.float32)
+            chunk = jnp.dot(sre, cs_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
             if sim is not None:
-                chunk += jnp.dot(sim, ss_ref[k], preferred_element_type=jnp.float32)
+                chunk += jnp.dot(sim, ss_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
             cp = jnp.pad(chunk, ((0, r - 1), (0, 0)))
             accj += pltpu.roll(cp, k, 0) if k else cp
         return accj
@@ -425,8 +425,8 @@ def _gl_v4_body(mag_ref, ca_ref, sa_ref, cs_ref, ss_ref, wih_ref, wim_ref, wit_r
                 im = jnp.zeros_like(re)
                 for k in range(r):
                     seg = jax.lax.slice(x16, (k, 0), (k + tb, hp))
-                    re += jnp.dot(seg, ca_ref[k], preferred_element_type=jnp.float32)
-                    im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32)
+                    re += jnp.dot(seg, ca_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+                    im += jnp.dot(seg, sa_ref[k], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
                 sre, sim = _proj_pair(m, re, im, packed)
             else:
                 sre, sim = _init_pair(m, fp, packed)

@@ -140,7 +140,7 @@ def pallas_gru_scan(
         for ti in range(tb):
             hprev = h_ref[:]
             hw = (
-                jnp.dot(hprev.astype(w_dt), wh_ref[:], preferred_element_type=jnp.float32)
+                jnp.dot(hprev.astype(w_dt), wh_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
                 + bh_ref[:]
             )
             xw_t = xw_ref[ti].astype(jnp.float32)
@@ -252,7 +252,7 @@ def _gru_bwd_call(xw, wh, bh, ys, dys, *, t_block: int = 8, interpret: bool | No
             hprev_t = hp_ref[ti].astype(jnp.float32)
             hw = (
                 jnp.dot(hp_ref[ti].astype(w_dt), wh_ref[:],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
                 + bh_ref[:]
             )
             xw_t = xw_ref[ti].astype(jnp.float32)
@@ -269,14 +269,14 @@ def _gru_bwd_call(xw, wh, bh, ys, dys, *, t_block: int = 8, interpret: bool | No
 
             dxw_ref[ti] = dxw_t.astype(dxw_ref.dtype)
             dh_ref[:] = dh * z + jnp.dot(
-                dhw.astype(w_dt), whT_ref[:], preferred_element_type=jnp.float32
+                dhw.astype(w_dt), whT_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
             )
             # h_{t-1}^T @ dhw without a vector transpose: contract the
             # batch axis of both operands
             dwh_ref[:] += jax.lax.dot_general(
                 hprev_t.astype(w_dt), dhw.astype(w_dt),
                 ((( 0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
             )
             dbh_ref[:] += jnp.sum(dhw, axis=0, keepdims=True)
 
