@@ -572,6 +572,7 @@ def main():
                     # supersedes the pre-trim planning estimate above
                     mixed["mixed_buckets_adaptive"] = res_a["bucket_edges"]
                     mixed["mixed_padding_overhead_adaptive"] = res_a["padding_overhead"]
+                    mixed["mixed_executed_overhead_adaptive"] = res_a["executed_overhead"]
                     if p > 0:
                         times_a.append(dt_a)
                     print(
@@ -602,7 +603,20 @@ def main():
                 tfs_dm = [dsp_audio.n_frames_for(len(y), acfg) for y in ys_dm]
                 conv_mixed.bucket_frames = 64  # fit grid (may be unset if
                 # the adaptive A/B above was budget-skipped)
+                # plan against EXECUTED rows*frames (pow2 tail rounding under
+                # this converter's frame-budget caps), not frame padding:
+                # dummy rows run the full program, and the frames-optimal
+                # plan paid ~24% executed overhead across thin-bucket tails
+                # in r3. Record the frames-plan counterfactual for the delta.
+                from zerospeech_tts_tpu.convert import _bucket_stats
+
                 conv_mixed.fit_buckets(tfs_dm, 12, target_overhead=pad_target)
+                mixed["mixed_device_overhead_frames_plan"] = _bucket_stats(
+                    conv_mixed, tfs_dm
+                )["executed_overhead"]
+                conv_mixed.fit_buckets(
+                    tfs_dm, 12, target_overhead=pad_target, cost_model="executed"
+                )
                 bkt: dict[int, list[int]] = {}
                 for i in np.argsort([-len(y) for y in ys_dm], kind="stable"):
                     t = dsp_audio.n_frames_for(len(ys_dm[int(i)]), acfg)

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 import pytest
 
-from zerospeech_tts_tpu.convert import Converter, plan_buckets
+from zerospeech_tts_tpu.convert import Converter, _chunk_rows, plan_buckets
 
 
 MIN_PAD = Converter._MIN_PAD  # padding-invariance constraint: pad 0 or >= 4
@@ -193,6 +193,118 @@ def test_plan_buckets_target_overhead_unreachable_best_effort():
     best = plan_buckets(lengths, 2, 64)
     got = plan_buckets(lengths, 2, 64, target_overhead=0.0)
     assert _waste(lengths, got) == _waste(lengths, best)
+
+
+def _executed_cost(lengths, edges, cap_fn, dispatch_cost=0.0):
+    """True executed overhead of a plan under smallest-covering-edge
+    assignment and Converter._chunk_batch chunking (no mesh): executed
+    rows*frames minus true frames, plus dispatch_cost per dispatch."""
+    edges = sorted(edges)
+    groups: dict[int, list[int]] = {}
+    for t in lengths:
+        e = next(e for e in edges if e == t or e - t >= MIN_PAD)
+        groups.setdefault(e, []).append(t)
+    cost = 0.0
+    for e, ts in groups.items():
+        rows, nd = _chunk_rows(len(ts), cap_fn(e))
+        cost += rows * e - sum(ts) + dispatch_cost * nd
+    return cost
+
+
+def test_chunk_rows_mirrors_chunk_batch(tiny_hps):
+    """_chunk_rows (the planner's chunking model) must agree with the rows
+    the Converter actually dispatches: full cap-row chunks + pow2 tail."""
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    state = Solver(h).init_state(jax.random.PRNGKey(0))
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=3)
+    for cap in (1, 3, 4, 8, 32):
+        for k in (1, 2, 3, 5, 7, 8, 9, 31, 64, 100):
+            rows, nd = _chunk_rows(k, cap)
+            idxs = list(range(k))
+            got_rows, got_nd = 0, 0
+            for c0 in range(0, k, cap):  # the convert loop's literal chunking
+                ch = idxs[c0 : c0 + cap]
+                got_rows += conv._chunk_batch(len(ch), cap)
+                got_nd += 1
+            assert (rows, nd) == (got_rows, got_nd), (cap, k)
+
+
+def test_plan_buckets_executed_never_worse():
+    """The executed-cost DP must never realize a higher true executed cost
+    than the frames-optimal plan does (the motivating failure: 7.7% frame
+    padding, 24% executed overhead from pow2 tails across thin buckets)."""
+    def cap_fn(tb, budget=8 * 1024):
+        cap = 1
+        while cap * 2 * tb <= budget and cap * 2 <= 128:
+            cap *= 2
+        return max(cap, 8)  # mirrors Converter._bucket_cap(batch_size=8)
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        lengths = (rng.uniform(1, 8, size=48) * 80).astype(int).tolist()
+        for dc in (0.0, 512.0):
+            for k in (2, 4, 8, 12):
+                e_frames = plan_buckets(lengths, k, 64)
+                e_exec = plan_buckets(lengths, k, 64, cap_fn=cap_fn, dispatch_cost=dc)
+                assert _executed_cost(lengths, e_exec, cap_fn, dc) <= \
+                    _executed_cost(lengths, e_frames, cap_fn, dc) + 1e-9
+
+
+def test_plan_buckets_executed_matches_brute_force():
+    """Exactness of the executed-cost DP vs exhaustive edge-subset search
+    (candidates = quantized group values; larger edges only add frames)."""
+    cap_fn = lambda tb: 4
+    rng = np.random.default_rng(8)
+    for trial in range(3):
+        lengths = rng.integers(10, 400, size=14).tolist()
+        cands = sorted({_quant(t, 32) for t in lengths})
+        for k in (1, 2, 3):
+            got = plan_buckets(lengths, k, 32, cap_fn=cap_fn, dispatch_cost=100.0)
+            best = min(
+                _executed_cost(lengths, sub, cap_fn, 100.0)
+                for r in range(1, min(k, len(cands)) + 1)
+                for sub in itertools.combinations(cands, r)
+                if sub[-1] == cands[-1]
+            )
+            assert _executed_cost(lengths, got, cap_fn, 100.0) == pytest.approx(best)
+
+
+def test_plan_buckets_executed_prefers_fewer_thin_buckets():
+    """With a per-dispatch cost, the executed model consolidates lengths
+    that the frames model would split into many tail-rounded buckets."""
+    # 12 groups of 1 utterance each: frames mode spends all 12 edges
+    lengths = [64 * i for i in range(1, 13)]
+    e_frames = plan_buckets(lengths, 12, 64)
+    assert len(e_frames) == 12
+    e_exec = plan_buckets(lengths, 12, 64, cap_fn=lambda tb: 8,
+                          dispatch_cost=4096.0)
+    assert len(e_exec) < 12  # dispatch cost makes 12 singleton dispatches lose
+
+
+def test_fit_buckets_executed_cost_model(tiny_hps):
+    """Converter.fit_buckets(cost_model='executed') plans against the
+    Converter's OWN _bucket_cap chunking and never realizes more executed
+    rows*frames than the frames plan; bad cost_model is rejected."""
+    from zerospeech_tts_tpu.config import AudioConfig
+    from zerospeech_tts_tpu.train import Solver
+
+    h = tiny_hps.replace(n_feat=129)
+    acfg = AudioConfig(n_fft=256, hop_length=64, win_length=256, n_mels=20, gl_iters=2)
+    state = Solver(h).init_state(jax.random.PRNGKey(0))
+    conv = Converter(h, acfg, state.enc, state.dec, batch_size=2,
+                     bucket_frames=8, frame_budget=2 * 64)
+    rng = np.random.default_rng(9)
+    lengths = (rng.uniform(8, 120, size=40)).astype(int).tolist()
+    ef = list(conv.fit_buckets(lengths, 6, cost_model="frames"))
+    ee = list(conv.fit_buckets(lengths, 6, cost_model="executed"))
+    assert _executed_cost(lengths, ee, conv._bucket_cap) <= \
+        _executed_cost(lengths, ef, conv._bucket_cap) + 1e-9
+    with pytest.raises(ValueError, match="cost_model"):
+        conv.fit_buckets(lengths, 6, cost_model="rows")
 
 
 def test_bucket_cap_frame_budget(tiny_hps):

@@ -164,6 +164,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "power of two within the budget, <=128 rows), cutting "
                         "per-dispatch overhead on mixed-length corpora; try "
                         "batch_size * longest_bucket_frames")
+    p.add_argument("--bucket-cost-model", default="frames",
+                   choices=["frames", "executed"],
+                   help="with --adaptive-buckets K: objective the edge "
+                        "planner minimizes. 'frames' = padded frames; "
+                        "'executed' = true dispatched rows*frames under this "
+                        "converter's chunking (pow2 tail rounding, "
+                        "--frame-budget caps) — dummy batch rows run the "
+                        "full program, so the frames-optimal plan can still "
+                        "lose wall time to tail rounding across thin buckets")
+    p.add_argument("--dispatch-cost-frames", type=float, default=0.0,
+                   metavar="N",
+                   help="with --bucket-cost-model executed: charge each "
+                        "dispatch N frame-rows of overhead in the plan (set "
+                        "high on wire/tunnel-bound hosts where every dispatch "
+                        "costs ~fixed wall time; 0 for locally attached "
+                        "devices)")
     p.add_argument("--load_model", nargs="?", const="latest", default=None,
                    metavar="STEP|DIR",
                    help="convert from a specific checkpoint: STEP number, "
@@ -736,6 +752,8 @@ def cmd_convert(args):
                 units_only=args.units_only,
                 adaptive_buckets=args.adaptive_buckets,
                 bucket_overhead_target=args.bucket_overhead_target,
+                bucket_cost_model=args.bucket_cost_model,
+                dispatch_cost_frames=args.dispatch_cost_frames,
             )
         else:
             out = convert_corpus(
@@ -749,6 +767,8 @@ def cmd_convert(args):
                 units_only=args.units_only,
                 adaptive_buckets=args.adaptive_buckets,
                 bucket_overhead_target=args.bucket_overhead_target,
+                bucket_cost_model=args.bucket_cost_model,
+                dispatch_cost_frames=args.dispatch_cost_frames,
             )
     dt = time.time() - t0
     print(

@@ -68,12 +68,32 @@ def read_units(path: str | Path) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int32, ndmin=2)
 
 
+def _chunk_rows(k: int, cap: int) -> tuple[int, int]:
+    """(executed batch rows, dispatch count) for ``k`` utterances chunked
+    under a bucket cap — mirrors Converter._chunk_batch's pow2 rounding
+    (full chunks of ``cap`` rows plus one pow2-rounded tail chunk).
+    Mesh data-axis rounding is not modeled (it is a small further
+    round-up that applies identically to every candidate plan)."""
+    full, rem = divmod(int(k), int(cap))
+    rows = full * cap
+    n_disp = full
+    if rem:
+        bs = 1
+        while bs < rem:
+            bs *= 2
+        rows += min(bs, cap)
+        n_disp += 1
+    return rows, n_disp
+
+
 def plan_buckets(
     frame_lengths,
     max_buckets: int,
     quantum: int,
     min_pad: int = 4,
     target_overhead: float | None = None,
+    cap_fn=None,
+    dispatch_cost: float = 0.0,
 ) -> list[int]:
     """Pick <= max_buckets bucket edges (multiples of ``quantum``) that
     minimize total padded frames for the given utterance length multiset.
@@ -90,6 +110,20 @@ def plan_buckets(
     within ``max_buckets`` if no k meets the target (e.g. the quantum
     floor: every distinct quantized length its own edge).
 
+    ``cap_fn`` (bucket frames -> batch-row cap) switches the objective
+    from padded frames to EXECUTED rows*frames: dummy batch rows run the
+    full program (the vocoder does not mask), so a plan that minimizes
+    frame padding can still lose to pow2 tail-chunk rounding when it
+    splits the corpus across many thin buckets — the recorded mixed bench
+    hit 7.7% frame padding but 24% executed overhead that way (see
+    docs/performance.md). With ``cap_fn`` the DP charges each candidate
+    bucket its true chunked cost (full cap-row chunks + one pow2 tail,
+    Converter._chunk_batch semantics) plus ``dispatch_cost`` (in
+    frame-row units) per dispatch — set dispatch_cost high on
+    wire/tunnel-bound hosts where each dispatch costs ~fixed wall time,
+    0 on locally-attached devices. More edges can then genuinely HURT;
+    the DP searches every k and keeps the cheapest.
+
     Uniform quantization (``ceil(t/bucket_frames)*bucket_frames``) wastes
     frames wherever the corpus length histogram is uneven — the recorded
     mixed-length bench loses 31% of frames to padding that way (see
@@ -100,6 +134,8 @@ def plan_buckets(
     Exact DP (1-D clustering): utterances are grouped by quantized length;
     dp[j][k] = min waste covering groups 1..j with k edges, edge k at group
     j's value. O(m^2 * max_buckets) for m distinct quantized lengths.
+    (Exactness holds in executed mode too: every utterance goes to the
+    smallest covering edge, so segment cost depends only on the segment.)
     """
     if int(max_buckets) < 1:
         raise ValueError(f"adaptive bucket count must be >= 1, got {max_buckets}")
@@ -124,6 +160,9 @@ def plan_buckets(
     dp = np.full((m + 1, k_max + 1), INF)
     prev = np.zeros((m + 1, k_max + 1), np.int64)
     dp[0, 0] = 0.0
+    caps = None
+    if cap_fn is not None:
+        caps = [max(1, int(cap_fn(int(v)))) for v in vals]
     for k in range(1, k_max + 1):
         for j in range(1, m + 1):
             # groups i+1..j all pad to vals[j-1]
@@ -131,7 +170,14 @@ def plan_buckets(
             for i in range(k - 1, j):
                 if dp[i, k - 1] == INF:
                     continue
-                c = dp[i, k - 1] + vals[j - 1] * (ccum[j] - ccum[i]) - (scum[j] - scum[i])
+                count = ccum[j] - ccum[i]
+                if caps is None:
+                    seg = vals[j - 1] * count - (scum[j] - scum[i])
+                else:
+                    rows, n_disp = _chunk_rows(count, caps[j - 1])
+                    seg = (rows * vals[j - 1] - (scum[j] - scum[i])
+                           + dispatch_cost * n_disp)
+                c = dp[i, k - 1] + seg
                 if c < best:
                     best, arg = c, i
             dp[j, k] = best
@@ -146,7 +192,9 @@ def plan_buckets(
         if not k_best:  # target unreachable within max_buckets: best effort
             k_best = int(np.argmin(dp[m, 1:])) + 1
     else:
-        k_best = int(np.argmin(dp[m, 1:])) + 1  # fewer edges can never help, but be safe
+        # in frames mode fewer edges can never help; in executed mode they
+        # genuinely can (row rounding + dispatch_cost) — argmin over all k
+        k_best = int(np.argmin(dp[m, 1:])) + 1
     edges, j = [], m
     for k in range(k_best, 0, -1):
         edges.append(int(vals[j - 1]))
@@ -294,7 +342,8 @@ class Converter:
         return tb
 
     def fit_buckets(
-        self, frame_lengths, max_buckets: int, target_overhead: float | None = None
+        self, frame_lengths, max_buckets: int, target_overhead: float | None = None,
+        cost_model: str = "frames", dispatch_cost_frames: float = 0.0,
     ) -> list[int]:
         """Fit adaptive bucket edges to an observed utterance length
         distribution (frame counts BEFORE padding). Keeps at most
@@ -303,10 +352,21 @@ class Converter:
         padding. Edges stay multiples of ``bucket_frames`` so shapes remain
         grid-aligned (downsample divides them) and reusable across corpora.
         ``target_overhead`` picks the smallest edge count meeting a padding
-        budget instead of spending all ``max_buckets`` (see plan_buckets)."""
+        budget instead of spending all ``max_buckets`` (see plan_buckets).
+
+        ``cost_model="executed"`` plans against the TRUE dispatch cost —
+        executed rows*frames under this Converter's chunking (pow2 tail
+        rounding, per-bucket frame-budget caps) plus
+        ``dispatch_cost_frames`` per dispatch — instead of frame padding
+        alone; see plan_buckets. Use it when the goal is wall time /
+        device FLOPs rather than a padding figure."""
+        if cost_model not in ("frames", "executed"):
+            raise ValueError(f"cost_model must be frames|executed, got {cost_model!r}")
         self.bucket_edges = plan_buckets(
             frame_lengths, max_buckets, self.bucket_frames,
             min_pad=self._MIN_PAD, target_overhead=target_overhead,
+            cap_fn=self._bucket_cap if cost_model == "executed" else None,
+            dispatch_cost=dispatch_cost_frames,
         )
         return self.bucket_edges
 
@@ -981,9 +1041,23 @@ def _bucket_stats(converter: Converter, true_frames) -> dict:
     in the conversion result so benchmarks report the executed plan, not a
     separately recomputed one (they can differ, e.g. pre- vs post-trim)."""
     padded = [converter._bucket_of(t) for t in true_frames]
+    by_bucket: dict[int, int] = {}
+    for tb in padded:
+        by_bucket[tb] = by_bucket.get(tb, 0) + 1
+    rows_frames, n_disp = 0, 0
+    for tb, count in by_bucket.items():
+        rows, nd = _chunk_rows(count, converter._bucket_cap(tb))
+        rows_frames += rows * tb
+        n_disp += nd
+    true_total = max(sum(true_frames), 1)
     return {
-        "bucket_edges": sorted(set(padded)),
-        "padding_overhead": round(sum(padded) / max(sum(true_frames), 1) - 1, 4),
+        "bucket_edges": sorted(by_bucket),
+        "padding_overhead": round(sum(padded) / true_total - 1, 4),
+        # dummy rows run the full program (the vocoder does not mask), so
+        # executed rows*frames — pow2 tail rounding included — is the cost
+        # the device actually pays; mesh data-axis round-up not modeled
+        "executed_overhead": round(rows_frames / true_total - 1, 4),
+        "n_dispatches": n_disp,
     }
 
 
@@ -999,6 +1073,8 @@ def convert_corpus(
     progress=None,
     adaptive_buckets: int | None = None,
     bucket_overhead_target: float | None = None,
+    bucket_cost_model: str = "frames",
+    dispatch_cost_frames: float = 0.0,
 ) -> dict:
     """Corpus-wide conversion + unit extraction (ref --test, SURVEY.md §3.4).
 
@@ -1035,6 +1111,8 @@ def convert_corpus(
             converter.fit_buckets(
                 [f.shape[0] for f in feats], adaptive_buckets,
                 target_overhead=bucket_overhead_target,
+                cost_model=bucket_cost_model,
+                dispatch_cost_frames=dispatch_cost_frames,
             )
             bucket_stats = _bucket_stats(converter, [f.shape[0] for f in feats])
         if units_only:
@@ -1075,6 +1153,8 @@ def convert_wav_dir(
     progress=None,
     adaptive_buckets: int | None = None,
     bucket_overhead_target: float | None = None,
+    bucket_cost_model: str = "frames",
+    dispatch_cost_frames: float = 0.0,
 ) -> dict:
     """Corpus conversion straight from a directory of wavs — the literal
     shape of the reference --test stack (SURVEY.md §3.4 iterates
@@ -1103,7 +1183,9 @@ def convert_wav_dir(
             trim = False
             true_frames = [dsp_audio.n_frames_for(len(y), converter.acfg) for y in ys]
             converter.fit_buckets(
-                true_frames, adaptive_buckets, target_overhead=bucket_overhead_target
+                true_frames, adaptive_buckets, target_overhead=bucket_overhead_target,
+                cost_model=bucket_cost_model,
+                dispatch_cost_frames=dispatch_cost_frames,
             )
             bucket_stats = _bucket_stats(converter, true_frames)
         if units_only:
