@@ -587,6 +587,43 @@ def main():
                         n_utts / float(np.median(times_a)), 4
                     )
 
+            # WIRE-PLANNED arm: the adaptive frames-optimal plan regressed
+            # wall time on this tunnel-attached host (48.5 vs 62.9 utt/s in
+            # the r4 local run) because 8 thin-bucket dispatches each pay
+            # ~85 ms of tunnel round-trip. Planning with the executed cost
+            # model + a per-dispatch charge collapses the plan to ~3
+            # dispatches (any charge 1k-27k frame-rows picks the same plan
+            # — the optimum is insensitive to the exact calibration).
+            # Recorded separately so the <10%-padding artifact above stays.
+            if budget_left():
+                conv_mixed.bucket_frames = 64  # same fit grid as the arm above
+                times_w = []
+                for p in range(n_mixed_passes + 1):
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    t0 = time.perf_counter()
+                    res_w = convert_wav_dir(
+                        conv_mixed, wav_dir, out_dir, {"V000": 0}, sr=sr,
+                        adaptive_buckets=12, bucket_cost_model="executed",
+                        dispatch_cost_frames=3000.0,
+                    )
+                    dt_w = time.perf_counter() - t0
+                    if p > 0:
+                        times_w.append(dt_w)
+                    print(
+                        f"mixed wire-planned pass {p}: {n_utts / dt_w:.1f} utt/s"
+                        + (" (compile)" if p == 0 else ""),
+                        file=sys.stderr,
+                    )
+                    if p == 0 and not budget_left():
+                        break
+                if times_w:
+                    mixed["corpus_conversion_throughput_mixed_wire_planned"] = round(
+                        n_utts / float(np.median(times_w)), 4
+                    )
+                    mixed["mixed_buckets_wire_planned"] = res_w["bucket_edges"]
+                    mixed["mixed_padding_overhead_wire_planned"] = res_w["padding_overhead"]
+                    mixed["mixed_dispatches_wire_planned"] = res_w["n_dispatches"]
+
             # DEVICE-RESIDENT mixed-length throughput + MFU (VERDICT r3
             # item 2): the on-chip cost of the realistic 1-8 s corpus —
             # inputs pre-staged in HBM per (bucket, chunk) dispatch, every
