@@ -225,6 +225,11 @@ def main() -> None:
 
     def time_gru(mod, b, t, feat_in, tag):
         m_params = mod.init(jax.random.PRNGKey(1), np.zeros((b, t, feat_in), np.float32))
+        # cast params to the compute dtype exactly like the Converter does:
+        # uncast f32 params over bf16 inputs would promote the whole scan to
+        # f32 (mis-measuring) and fail pallas_gru_supported's dtype check
+        m_params = jax.tree.map(
+            lambda p: p.astype(cd) if p.dtype == jnp.float32 else p, m_params)
 
         @jax.jit
         def run(x):

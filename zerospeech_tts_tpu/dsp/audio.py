@@ -230,19 +230,42 @@ def mirror_pad(y: jnp.ndarray, pad: int, length=None) -> jnp.ndarray:
     ``np.pad(y[:length], (pad, pad), 'reflect')`` EXACTLY — the librosa
     center=True boundary semantics the reference frontend has
     (ref preprocess.py:~20-80) — regardless of how much zero bucket padding
-    follows. Positions beyond that span hold deeper zigzag folds (they feed
-    only frames >= the true frame count, which callers slice off). The gather
-    never reads y at or past ``length``, so garbage there is harmless.
+    follows. Positions beyond that span hold the static reflect pad of the
+    bucket-padded buffer (zeros/garbage); they feed only frames >= the true
+    frame count, which callers slice off.
     """
     n = y.shape[-1]
     if length is None:
         return jnp.pad(y, (pad, pad), mode="reflect")
-    i = jnp.arange(n + 2 * pad) - pad
     L = jnp.maximum(jnp.asarray(length, jnp.int32), 2)
     period = 2 * (L - 1)  # edge-excluded reflection period (np.pad 'reflect')
-    m = jnp.abs(i) % period
-    j = jnp.minimum(m, period - m)
-    return jnp.take(y, jnp.clip(j, 0, n - 1), axis=-1)
+
+    def zigzag(i):
+        m = jnp.abs(i) % period
+        j = jnp.minimum(m, period - m)
+        return jnp.take(y, jnp.clip(j, 0, n - 1), axis=-1)
+
+    # An earlier revision gathered the ENTIRE padded span through the zigzag
+    # index map — a [n + 2*pad] computed gather per utterance that cost 33 ms
+    # of the 90 ms batch-32 conversion program on a v5e (docs/
+    # frontend_profile.json). Only 2*pad positions can ever differ from a
+    # plain static reflect pad: the head pad (when L-1 < pad the static pad
+    # folds about the BUFFER end, not the true length) and the first ``pad``
+    # positions at/after the true end (static pad sees the zero bucket
+    # padding there). True frames never read past L + pad - 1: frame i spans
+    # signal coords [i*hop - pad, i*hop + pad) and the last true frame has
+    # i = L // hop. So: static reflect pad + two pad-sized zigzag fix-ups
+    # (head at a static offset, tail via a dynamic-start update) is EXACT for
+    # every L >= 2 while gathering 2*pad instead of n + 2*pad elements.
+    if n - 1 < pad:
+        # buffer shorter than the pad: jnp.pad 'reflect' cannot fold more
+        # than once — keep the full zigzag gather (tiny arrays only)
+        return zigzag(jnp.arange(n + 2 * pad) - pad)
+    ypad = jnp.pad(y, (pad, pad), mode="reflect")
+    head = zigzag(jnp.arange(-pad, 0))
+    tail = zigzag(L + jnp.arange(pad))
+    ypad = jax.lax.dynamic_update_slice(ypad, head, (0,))
+    return jax.lax.dynamic_update_slice(ypad, tail, (pad + L,))
 
 
 def frame_signal(y: jnp.ndarray, cfg: AudioConfig, length=None) -> jnp.ndarray:

@@ -144,7 +144,11 @@ class GRU(nn.Module):
             n = jnp.tanh(xn + r * hn)
             return (1.0 - z) * n + z * hprev
 
-        h0 = jnp.zeros((b, h), x.dtype)
+        # carry dtype must equal the cell OUTPUT dtype: with mixed
+        # input/param dtypes (e.g. bf16 activations over f32 params) the
+        # recurrent matmul promotes, and a carry pinned to x.dtype would
+        # fail lax.scan's carry-type check.
+        h0 = jnp.zeros((b, h), jnp.result_type(xw.dtype, wh.dtype))
         if self.reverse and lengths is not None:
             # padded buckets: a reversed scan would feed pad-row state into
             # every true row (unbounded receptive field). Pass h through
