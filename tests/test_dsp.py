@@ -183,6 +183,14 @@ def test_mirror_pad_matches_numpy_reflect():
     # static path: length=None is plain reflect padding
     got = np.asarray(A.mirror_pad(jnp.asarray(y), pad))
     assert np.array_equal(got, np.pad(y, (pad, pad), mode="reflect"))
+    # buffer shorter than the pad: the static-pad-plus-fixups decomposition
+    # can't apply (np.pad 'reflect' folds at most once); the full zigzag
+    # fallback must still match numpy exactly
+    ys = y[: pad // 2 + 1]
+    for L in (2, 5, pad // 2 + 1):
+        got = np.asarray(A.mirror_pad(jnp.asarray(ys), pad, L))
+        want = np.pad(ys[:L], (pad, pad), mode="reflect")
+        assert np.array_equal(got[: pad + L + pad], want), L
 
 
 def test_bucketed_tail_frames_match_exact_length():
