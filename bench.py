@@ -640,7 +640,7 @@ def main():
                 tfs_dm = [dsp_audio.n_frames_for(len(y), acfg) for y in ys_dm]
                 conv_mixed.bucket_frames = 64  # fit grid (may be unset if
                 # the adaptive A/B above was budget-skipped)
-                # plan against EXECUTED rows*frames (pow2 tail rounding under
+                # plan against EXECUTED rows*frames (tail-shape rounding under
                 # this converter's frame-budget caps), not frame padding:
                 # dummy rows run the full program, and the frames-optimal
                 # plan paid ~24% executed overhead across thin-bucket tails

@@ -355,3 +355,26 @@ def test_frame_budget_units_unchanged(tiny_hps):
         np.testing.assert_array_equal(a, b)
     for a, b in zip(w_flat[0], w_bud[0]):
         assert a.shape == b.shape
+
+
+def test_round_rows_shape_set_and_waste_bound():
+    """_round_rows picks the smallest allowed shape (pow2 plus 3*2^i) >= k:
+    monotone, capped, and the round-up waste is bounded at 1/3 of the
+    chunk (the pure-pow2 scheme it replaced wasted up to ~1x: 9 -> 16)."""
+    from zerospeech_tts_tpu.convert import _round_rows
+
+    allowed = sorted(
+        {2**i for i in range(9)} | {3 * 2**i for i in range(8)}
+    )
+    for cap in (1, 3, 4, 8, 24, 32, 128):
+        prev = 0
+        for k in range(1, 140):
+            bs = _round_rows(k, cap)
+            assert bs >= min(k, cap)
+            assert bs <= cap
+            assert bs >= prev or k > cap  # monotone until the cap clamps
+            prev = bs
+            if k <= cap:
+                assert bs in allowed, (k, cap, bs)
+                assert bs == min(s for s in allowed if s >= k and s <= cap) or bs == cap
+                assert bs - k <= max((k - 1) // 2, 0) or bs == k, (k, bs)

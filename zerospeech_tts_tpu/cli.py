@@ -169,7 +169,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --adaptive-buckets K: objective the edge "
                         "planner minimizes. 'frames' = padded frames; "
                         "'executed' = true dispatched rows*frames under this "
-                        "converter's chunking (pow2 tail rounding, "
+                        "converter's chunking (tail-shape rounding, "
                         "--frame-budget caps) — dummy batch rows run the "
                         "full program, so the frames-optimal plan can still "
                         "lose wall time to tail rounding across thin buckets")

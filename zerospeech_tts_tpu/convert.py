@@ -68,20 +68,37 @@ def read_units(path: str | Path) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int32, ndmin=2)
 
 
+def _round_rows(k: int, cap: int) -> int:
+    """Smallest ALLOWED batch-row shape >= k, capped: shapes are powers of
+    two plus their 1.5x points (1,2,3,4,6,8,12,16,24,32,48,...). Dummy
+    rows run the full program (the vocoder does not mask), so pure-pow2
+    rounding wasted up to ~1x the tail (9 utts -> 16 rows); the 3*2^i
+    shapes bound the round-up at 1/3 (9 -> 12) while a given corpus still
+    compiles exactly one tail shape per (bucket, chunk count) — the shape
+    is just less wasteful. Batch rows are the outermost dim everywhere
+    (conv/dense sublane tiles, GL kernel grid), so non-pow2 row counts
+    cost nothing structurally."""
+    k = min(int(k), int(cap))
+    bs = 1
+    while bs < k:
+        bs *= 2
+    three = 3 * (bs // 4)
+    if three >= k:
+        bs = three
+    return min(bs, int(cap))
+
+
 def _chunk_rows(k: int, cap: int) -> tuple[int, int]:
     """(executed batch rows, dispatch count) for ``k`` utterances chunked
-    under a bucket cap — mirrors Converter._chunk_batch's pow2 rounding
-    (full chunks of ``cap`` rows plus one pow2-rounded tail chunk).
+    under a bucket cap — mirrors Converter._chunk_batch's shape rounding
+    (full chunks of ``cap`` rows plus one _round_rows tail chunk).
     Mesh data-axis rounding is not modeled (it is a small further
     round-up that applies identically to every candidate plan)."""
     full, rem = divmod(int(k), int(cap))
     rows = full * cap
     n_disp = full
     if rem:
-        bs = 1
-        while bs < rem:
-            bs *= 2
-        rows += min(bs, cap)
+        rows += _round_rows(rem, cap)
         n_disp += 1
     return rows, n_disp
 
@@ -117,7 +134,7 @@ def plan_buckets(
     splits the corpus across many thin buckets — the recorded mixed bench
     hit 7.7% frame padding but 24% executed overhead that way (see
     docs/performance.md). With ``cap_fn`` the DP charges each candidate
-    bucket its true chunked cost (full cap-row chunks + one pow2 tail,
+    bucket its true chunked cost (full cap-row chunks + one rounded tail,
     Converter._chunk_batch semantics) plus ``dispatch_cost`` (in
     frame-row units) per dispatch — set dispatch_cost high on
     wire/tunnel-bound hosts where each dispatch costs ~fixed wall time,
@@ -218,7 +235,7 @@ class Converter:
         bucket_frames: int = 64,
         frame_budget: int | None = None,  # rows*frames per dispatch budget.
         # When set, SHORT buckets take more utterances per dispatch (batch
-        # cap = largest power of two with cap*bucket <= budget, never below
+        # cap = largest allowed row shape with cap*bucket <= budget, never below
         # batch_size, <= 128 rows): a 128-frame bucket at the same frame
         # budget as a 1024-frame batch-8 dispatch carries 64 utterances,
         # so mixed-length corpora stop paying per-dispatch overhead per
@@ -355,7 +372,7 @@ class Converter:
         budget instead of spending all ``max_buckets`` (see plan_buckets).
 
         ``cost_model="executed"`` plans against the TRUE dispatch cost —
-        executed rows*frames under this Converter's chunking (pow2 tail
+        executed rows*frames under this Converter's chunking (tail-shape
         rounding, per-bucket frame-budget caps) plus
         ``dispatch_cost_frames`` per dispatch — instead of frame padding
         alone; see plan_buckets. Use it when the goal is wall time /
@@ -788,30 +805,30 @@ class Converter:
 
     def _bucket_cap(self, tb: int) -> int:
         """Batch cap for a bucket of ``tb`` frames: the flat batch_size,
-        or — with a frame_budget — the largest power of two whose
-        rows*frames stays within the budget (never below batch_size, at
-        most 128 rows), so short buckets fill each dispatch instead of
-        paying per-dispatch overhead per handful of utterances."""
+        or — with a frame_budget — the largest allowed row shape
+        (_round_rows set: pow2 and 3*2^i) whose rows*frames stays within
+        the budget (never below batch_size, at most 128 rows), so short
+        buckets fill each dispatch instead of paying per-dispatch
+        overhead per handful of utterances."""
         if not self.frame_budget:
             return self.batch_size
         cap = 1
-        while cap * 2 * tb <= self.frame_budget and cap * 2 <= 128:
-            cap *= 2
+        for s in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+            if s * tb <= self.frame_budget:
+                cap = s
         return max(cap, self.batch_size)
 
     def _chunk_batch(self, k: int, cap: int | None = None) -> int:
-        """Batch rows for a chunk of ``k`` utterances: smallest power of
-        two >= k, capped at the bucket's cap (so at most log2(cap)
-        distinct batch shapes compile per bucket) and rounded up to a
-        multiple of the mesh data axis. Dummy rows run the FULL program
-        (the vocoder does not mask), so a 3-utterance tail chunk should
-        not dispatch a 32-row program — with a handful of adaptive
-        buckets the tail chunks are where most dummy FLOPs were."""
+        """Batch rows for a chunk of ``k`` utterances: smallest allowed
+        shape >= k (_round_rows: pow2 plus 3*2^i points, so ~2*log2(cap)
+        possible shapes per bucket and tail round-up waste bounded at
+        1/3), capped at the bucket's cap and rounded up to a multiple of
+        the mesh data axis. Dummy rows run the FULL program (the vocoder
+        does not mask), so a 3-utterance tail chunk should not dispatch a
+        32-row program — with a handful of adaptive buckets the tail
+        chunks are where most dummy FLOPs were."""
         cap = cap or self.batch_size
-        bs = 1
-        while bs < min(k, cap):
-            bs *= 2
-        bs = min(bs, cap)
+        bs = _round_rows(k, cap)
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             bs = -(-bs // n_data) * n_data
@@ -838,7 +855,7 @@ class Converter:
         Returns (units_list, wavs_per_target) where units_list[i] is the
         {0,1} int array for utterance i and wavs_per_target[k][i] the int16
         PCM for target k. Buckets by padded length; each chunk's batch is
-        right-sized to a power of two <= batch_size (_chunk_batch), so tail
+        right-sized to an allowed row shape <= batch_size (_chunk_batch), so tail
         chunks don't burn full-batch vocoder FLOPs on dummy rows. All
         programs are LAUNCHED
         first and read back afterwards, so device compute overlaps the
@@ -1054,7 +1071,7 @@ def _bucket_stats(converter: Converter, true_frames) -> dict:
         "bucket_edges": sorted(by_bucket),
         "padding_overhead": round(sum(padded) / true_total - 1, 4),
         # dummy rows run the full program (the vocoder does not mask), so
-        # executed rows*frames — pow2 tail rounding included — is the cost
+        # executed rows*frames — tail-shape rounding included — is the cost
         # the device actually pays; mesh data-axis round-up not modeled
         "executed_overhead": round(rows_frames / true_total - 1, 4),
         "n_dispatches": n_disp,
