@@ -466,6 +466,34 @@ def main():
         except Exception as e:
             print(f"device-resident bench failed: {e!r}", file=sys.stderr)
 
+        # Quality-matched reduced-iteration vocoder arm (round 4): momentum-GL
+        # at 48 iterations matches the reference default's (plain GL-100)
+        # magnitude-consistency on the geometric mean over the probe-signal
+        # set (worst single signal +7%; tools/gl_quality_sweep.py ->
+        # docs/gl_quality_vs_iters.json). Per-iteration cost is identical, so
+        # this is a ~2.1x vocoder FLOP cut at aggregate reference-or-better
+        # quality. Recorded as a secondary arm — the headline stays GL-100.
+        if budget_left():
+            try:
+                gl_fast_iters = 48
+                conv_gl48 = Converter(
+                    hps, acfg, enc_params, dec_params, gl_iters=gl_fast_iters,
+                    batch_size=n_utts, compute_dtype="bfloat16", pcm_wire="mulaw",
+                )
+                dt_dev48, _, _ = time_device(conv_gl48)
+                device_resident["utt_per_sec_device_resident_gl48"] = round(
+                    n_utts / dt_dev48, 4
+                )
+                device_resident["rtf_device_resident_gl48"] = round(
+                    n_utts * (n_samp / sr) / dt_dev48, 1
+                )
+                device_resident["gl48_quality_basis"] = (
+                    "momentum-GL-48 geomean consistency <= plain-GL-100 "
+                    "(docs/gl_quality_vs_iters.json; worst signal 1.071x)"
+                )
+            except Exception as e:
+                print(f"gl48 device arm failed: {e!r}", file=sys.stderr)
+
     # ------------------------------------------------------------------
     # MIXED-LENGTH corpus conversion (VERDICT r2 item 4): a ZR19-like
     # 1-8 s length spread through the full convert_wav_dir stack (file
