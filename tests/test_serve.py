@@ -49,25 +49,29 @@ def test_service_convert_roundtrip(service):
 
 
 def test_service_micro_batches_same_key(service):
-    """Two concurrent same-target requests inside the window share one
-    program dispatch; each still gets its own result."""
+    """Two same-target requests enqueued atomically share ONE program
+    dispatch; each still gets its own result.
+
+    Deterministic by construction (the threaded version of this test was
+    wall-clock-sensitive: under concurrent pytest load the batching
+    window could expire between the two submits, or a cold compile could
+    outlive the thread-join timeout). The service's condition variable is
+    a ``threading.Condition()`` whose default lock is an RLock, so the
+    test thread can hold it across both ``submit`` calls — the dispatch
+    worker cannot pop the queue until both requests are in it, and the
+    co-batching assertion becomes exact, independent of host load."""
     d0 = service.dispatches
-    results = [None, None]
-
-    def call(i, f):
-        results[i] = service.convert(_tone(f=f), ("V001", "V002"), trim=False)
-
-    ts = [threading.Thread(target=call, args=(i, 220.0 + 60 * i)) for i in range(2)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join(timeout=60)
-    assert all(r is not None for r in results)
+    with service._cv:  # worker can't take a batch while we hold the lock
+        reqs = [
+            service.submit(_tone(f=220.0 + 60 * i), ("V001", "V002"), trim=False)
+            for i in range(2)
+        ]
+    results = [r.result(timeout=900) for r in reqs]
     assert results[0]["units"].shape == results[1]["units"].shape
     assert not np.array_equal(
         results[0]["wavs"]["V001"], results[1]["wavs"]["V001"]
     )  # distinct inputs -> distinct outputs (no result mixup)
-    assert service.dispatches - d0 <= 2  # usually 1; 2 if the window raced
+    assert service.dispatches - d0 == 1  # exactly one co-batched dispatch
 
 
 def test_service_units_only_and_errors(service):
