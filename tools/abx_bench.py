@@ -17,14 +17,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-from zerospeech_tts_tpu import eval as ev
-
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # runnable as `python tools/abx_bench.py`
+
+from zerospeech_tts_tpu import eval as ev  # noqa: E402
 
 
 def make_items(n_items: int, dim: int, n_classes: int, n_speakers: int, seed: int = 0):
@@ -39,7 +41,7 @@ def make_items(n_items: int, dim: int, n_classes: int, n_speakers: int, seed: in
             for _ in range(per_pool):
                 t = int(rng.integers(4, 13))
                 u = np.repeat(templates[c][None], t, axis=0)
-                flip = rng.random((t, dim)) < 0.15
+                flip = rng.random((t, dim)) < 0.35  # 0.15 scored a degenerate 1.0
                 items.append({
                     "cls": f"c{c:02d}", "spk": f"s{s:02d}",
                     "units": np.where(flip, 1 - u, u).astype(np.int8),

@@ -163,6 +163,63 @@ def _dtw_dp_scalar(d: np.ndarray, ta: int, tb: int) -> float:
     return float(acc[ta, tb] / max(int(steps[ta, tb]), 1))
 
 
+def _dtw_many(pairs: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+    """Path-normalized DTW for a LIST of (u, v) sequence pairs.
+
+    Pairs with a small DP grid (the ABX phone-snippet regime: 4-12 latent
+    frames) are grouped by (ta, tb, dim) shape; each group computes its
+    frame-distance matrices with ONE batched matmul (the binary Hamming
+    factorization from :func:`dtw_distance`) and sweeps the DP vectorized
+    over the whole group — ta*tb numpy steps per GROUP instead of a
+    Python DP per pair, which at item-file scale (~1e6 sampled pairs,
+    tools/abx_bench.py) is the difference between tens of seconds and
+    ~7 minutes. Large or non-binary pairs fall back to
+    :func:`dtw_distance` one by one. Recurrence and tie-break priority
+    (diagonal, up, left) match ``_dtw_dp_scalar`` bit for bit: the
+    distance values are exact integers/dim either way, so equality
+    comparisons agree between the batched and scalar paths."""
+    out = np.empty(len(pairs))
+    groups: dict[tuple, list[int]] = {}
+    for n, (u, v) in enumerate(pairs):
+        ta, tb = u.shape[0], v.shape[0]
+        if (ta + 1) * (tb + 1) <= 1024:
+            groups.setdefault((ta, tb, u.shape[1]), []).append(n)
+        else:
+            out[n] = dtw_distance(u, v)
+    for (ta, tb, dim), idxs in groups.items():
+        a = np.stack([np.asarray(pairs[n][0], np.float32) for n in idxs])
+        b = np.stack([np.asarray(pairs[n][1], np.float32) for n in idxs])
+        if ((a == 0) | (a == 1)).all() and ((b == 0) | (b == 1)).all():
+            d = (
+                a.sum(axis=2)[:, :, None]
+                + b.sum(axis=2)[:, None, :]
+                - 2.0 * np.einsum("ntd,nsd->nts", a, b)
+            ).astype(np.float64) / dim
+            np.maximum(d, 0.0, out=d)
+        else:
+            d = (
+                np.abs(a[:, :, None, :] - b[:, None, :, :]).mean(axis=3).astype(np.float64)
+            )
+        n_g = len(idxs)
+        acc = np.full((n_g, ta + 1, tb + 1), np.inf)
+        acc[:, 0, 0] = 0.0
+        steps = np.zeros((n_g, ta + 1, tb + 1), np.int32)
+        for i in range(1, ta + 1):
+            for j in range(1, tb + 1):
+                c_diag = acc[:, i - 1, j - 1]
+                c_up = acc[:, i - 1, j]
+                c_left = acc[:, i, j - 1]
+                best = np.minimum(np.minimum(c_diag, c_up), c_left)
+                steps[:, i, j] = 1 + np.where(
+                    best == c_diag,
+                    steps[:, i - 1, j - 1],
+                    np.where(best == c_up, steps[:, i - 1, j], steps[:, i, j - 1]),
+                )
+                acc[:, i, j] = d[:, i - 1, j - 1] + best
+        out[np.asarray(idxs)] = acc[:, ta, tb] / np.maximum(steps[:, ta, tb], 1)
+    return out
+
+
 def _cell_score_loop(a_pool, b_pool, x_pool, x_is_a_pool, dist) -> float | None:
     """Scalar-loop triple scoring — the oracle the vectorized path is
     tested against (tests/test_abx.py); O(#a·#b·#x) Python iterations."""
@@ -228,45 +285,18 @@ def abx_discriminability(
     speakers = sorted({s for _, s in by})
     rng = np.random.default_rng(seed)
 
-    dcache: dict = {}
+    # Scoring runs in three phases so that EVERY DTW distance in the run
+    # goes through one shape-grouped vectorized sweep (_dtw_many). The
+    # earlier per-cell batching was still Python-bound at item-file scale:
+    # a capped cell needs <=2*cap distances spread over ~80 (ta, tb)
+    # length combinations, so each vectorized DP ran on ~5 pairs and the
+    # sweep overhead dominated (profiled: 150 of 175 s in _dtw_many at
+    # 3e3 items). Pooling the ~1e6 pairs of a 1e4-item run first makes
+    # every shape group thousands of pairs wide.
 
-    def dist(u, v):
-        key = (id(u), id(v))
-        if key not in dcache:
-            dcache[key] = dcache[(id(v), id(u))] = dtw_distance(u, v)
-        return dcache[key]
-
-    def cell_score(a_pool, b_pool, x_pool, x_is_a_pool):
-        na, nb, nx = len(a_pool), len(b_pool), len(x_pool)
-        # when x and a draw from one pool, a != x removes one a per x
-        na_eff = na - 1 if x_is_a_pool else na
-        n_triples = nx * na_eff * nb
-        if n_triples <= 0:
-            return None
-        if max_triples_per_cell is not None and n_triples > max_triples_per_cell:
-            # sampled path: decode flat triple indices (x, a_eff, b) and
-            # compute only the sampled pairs' distances
-            flat = rng.choice(n_triples, size=max_triples_per_cell, replace=False)
-            xi, rem = flat // (na_eff * nb), flat % (na_eff * nb)
-            ae, bi = rem // nb, rem % nb
-            # a_eff skips the x slot when the pools coincide
-            ai = ae + (ae >= xi) if x_is_a_pool else ae
-            da = np.array([dist(x_pool[x], a_pool[a]) for x, a in zip(xi, ai)])
-            db = np.array([dist(x_pool[x], b_pool[b]) for x, b in zip(xi, bi)])
-            return float(np.mean((da < db) + 0.5 * (da == db)))
-        # exact path: full [nx, na] / [nx, nb] distance matrices (cache-
-        # deduped across cells), one broadcast compare for every triple
-        dxa = np.array([[dist(x, a) for a in a_pool] for x in x_pool])
-        dxb = np.array([[dist(x, b) for b in b_pool] for x in x_pool])
-        sc = (dxa[:, :, None] < dxb[:, None, :]) + 0.5 * (
-            dxa[:, :, None] == dxb[:, None, :]
-        )
-        if x_is_a_pool:
-            valid = ~np.eye(nx, dtype=bool)  # [nx, na] drop a == x
-            return float(sc[valid].mean())
-        return float(sc.mean())
-
-    pair_cells: dict = defaultdict(list)  # ordered (cA, cB) -> cell scores
+    # phase 0: cells in the official iteration order — also the RNG
+    # consumption order for sampled cells, kept stable for reproducibility
+    cell_list = []  # (ordered-pair key, a_pool, b_pool, x_pool, x_is_a_pool)
     for ca, cb in product(classes, classes):
         if ca == cb:
             continue
@@ -278,15 +308,83 @@ def abx_discriminability(
                 for s2 in speakers:
                     if s2 == s:
                         continue
-                    sc = cell_score(a_pool, b_pool, by.get((ca, s2), []), False)
-                    if sc is not None:
-                        pair_cells[(ca, cb)].append(sc)
+                    cell_list.append(((ca, cb), a_pool, b_pool, by.get((ca, s2), []), False))
             else:
                 if len(a_pool) < 2:
                     continue
-                sc = cell_score(a_pool, b_pool, a_pool, True)
-                if sc is not None:
-                    pair_cells[(ca, cb)].append(sc)
+                cell_list.append(((ca, cb), a_pool, b_pool, a_pool, True))
+
+    # phase 1: per-cell triple plans (sampling happens here) + the global
+    # deduplicated pair set
+    need: dict[tuple, tuple] = {}
+
+    def reserve(xs, ys):
+        for u, v in zip(xs, ys):
+            k = (id(u), id(v))
+            if k not in need and (id(v), id(u)) not in need:
+                need[k] = (u, v)
+
+    plans = []  # ("sampled", xi, ai, bi) index triples | ("exact",) | None
+    for _key, a_pool, b_pool, x_pool, x_is_a_pool in cell_list:
+        na, nb, nx = len(a_pool), len(b_pool), len(x_pool)
+        # when x and a draw from one pool, a != x removes one a per x
+        na_eff = na - 1 if x_is_a_pool else na
+        n_triples = nx * na_eff * nb
+        if n_triples <= 0:
+            plans.append(None)
+            continue
+        if max_triples_per_cell is not None and n_triples > max_triples_per_cell:
+            # sampled cell: decode flat triple indices (x, a_eff, b) and
+            # reserve only the sampled pairs' distances
+            flat = rng.choice(n_triples, size=max_triples_per_cell, replace=False)
+            xi, rem = flat // (na_eff * nb), flat % (na_eff * nb)
+            ae, bi = rem // nb, rem % nb
+            # a_eff skips the x slot when the pools coincide
+            ai = ae + (ae >= xi) if x_is_a_pool else ae
+            reserve((x_pool[x] for x in xi), (a_pool[a] for a in ai))
+            reserve((x_pool[x] for x in xi), (b_pool[b] for b in bi))
+            plans.append(("sampled", xi, ai, bi))
+        else:
+            # exact cell: the full [nx, na] / [nx, nb] distance grids
+            # (a == x pairs masked out at scoring time)
+            for x in x_pool:
+                reserve((x for _ in a_pool), a_pool)
+                reserve((x for _ in b_pool), b_pool)
+            plans.append(("exact",))
+
+    # phase 2: ONE vectorized DTW sweep over every distinct pair
+    dcache: dict = {}
+    if need:
+        vals = _dtw_many(list(need.values()))
+        for ((ku, kv), _pair), val in zip(need.items(), vals):
+            dcache[(ku, kv)] = dcache[(kv, ku)] = float(val)
+
+    # phase 3: score cells from the cache
+    pair_cells: dict = defaultdict(list)  # ordered (cA, cB) -> cell scores
+    for (key, a_pool, b_pool, x_pool, x_is_a_pool), plan in zip(cell_list, plans):
+        if plan is None:
+            continue
+        if plan[0] == "sampled":  # parallel index triples
+            _, xi, ai, bi = plan
+            da = np.array([dcache[(id(x_pool[x]), id(a_pool[a]))] for x, a in zip(xi, ai)])
+            db = np.array([dcache[(id(x_pool[x]), id(b_pool[b]))] for x, b in zip(xi, bi)])
+            sc = float(np.mean((da < db) + 0.5 * (da == db)))
+        else:  # exact cell: full grids, one broadcast compare per triple
+            dxa = np.array(
+                [[dcache[(id(x), id(a))] for a in a_pool] for x in x_pool]
+            )
+            dxb = np.array(
+                [[dcache[(id(x), id(b))] for b in b_pool] for x in x_pool]
+            )
+            s3 = (dxa[:, :, None] < dxb[:, None, :]) + 0.5 * (
+                dxa[:, :, None] == dxb[:, None, :]
+            )
+            if x_is_a_pool:
+                valid = ~np.eye(len(x_pool), dtype=bool)  # [nx, na] drop a == x
+                sc = float(s3[valid].mean())
+            else:
+                sc = float(s3.mean())
+        pair_cells[key].append(sc)
 
     ordered = {p: float(np.mean(cells)) for p, cells in pair_cells.items()}
     sym: dict = defaultdict(list)  # unordered pair -> its 1-2 ordered scores
