@@ -32,7 +32,12 @@ def convergence_block() -> str:
          f"{rep['clf_acc_after_pretrain']:.3f} (chance {chance:.3f})",
          "units leak speaker before training against it"),
         ("clf acc after adversarial phase", f"**{rep['clf_acc_final']:.3f}**",
-         "disentanglement works" if rep["clf_acc_final"] <= rep["clf_acc_after_pretrain"]
+         # same criterion as the demo's own gate: <=1.5x chance, or flat
+         # within +0.04 of the pre-adversarial probe
+         "disentanglement works"
+         if rep["clf_acc_final"] <= rep["clf_acc_after_pretrain"]
+         else "leakage held flat through the adversarial phase"
+         if rep["clf_acc_final"] <= max(1.5 * chance, rep["clf_acc_after_pretrain"] + 0.04)
          else "NOT disentangled"),
         ("units active fraction", f"{rep['units_active_fraction']:.2f}", "no bit collapse"),
         ("target-envelope accuracy (6-way speaker ID)",
@@ -89,11 +94,26 @@ def bench_block() -> str:
     benches = sorted(REPO.glob("BENCH_r*.json"))
     if not benches:
         return "_No recorded BENCH artifact yet._"
-    latest = benches[-1]
-    data = json.loads(latest.read_text())
-    parsed = data.get("parsed", data)
+    # newest artifact whose JSON line actually parsed — a timed-out round
+    # (BENCH_r04: rc=124, parsed=null) must not crash the regen or be
+    # silently presented as data
+    latest = parsed = None
+    skipped = []
+    for cand in reversed(benches):
+        data = json.loads(cand.read_text())
+        p = data.get("parsed", data)
+        if p and p.get("value") is not None:
+            latest, parsed = cand, p
+            break
+        skipped.append(cand.name)
+    if latest is None:
+        return "_No parseable BENCH artifact yet._"
     lines = [
-        f"Latest recorded driver artifact (`{latest.name}`):",
+        f"Latest recorded driver artifact with a parseable result (`{latest.name}`"
+        + (f"; {', '.join(skipped)} timed out before its JSON line — "
+           "fixed for r5 by emitting the headline line before the optional arms)"
+           if skipped else ")")
+        + ":",
         "",
         f"- **{parsed['value']} utt/s/chip** = **{parsed['vs_baseline']}× the CPU "
         f"reference path** (baseline {parsed['baseline']} utt/s), RTF {parsed['rtf']}",

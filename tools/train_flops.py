@@ -27,6 +27,13 @@ import sys
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override Hps batch_size (tools/train_profile.py ladder)")
+    args = ap.parse_args()
+
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -39,6 +46,8 @@ def main() -> None:
     from zerospeech_tts_tpu.train import Solver
 
     hps = Hps().replace(n_speakers=8)  # bench train geometry (bench.py)
+    if args.batch_size:
+        hps = hps.replace(batch_size=args.batch_size)
     sol = Solver(hps)
     st = sol.init_state(jax.random.PRNGKey(0))
     b = hps.batch_size
