@@ -222,9 +222,14 @@ def main():
     # warmup (compile), then MEDIAN of n_passes timed passes — a single
     # tunnel hiccup must not torpedo the recorded artifact (VERDICT r1).
     # Compile time doubles as the cache-warmness probe for arm gating.
+    # The warmup MUST run the full batch: the converter right-sizes row
+    # chunks, so a 1-wav warmup compiles only the 1-row program and the
+    # first timed pass then pays the cold batch-32 compile (measured:
+    # pass 0 took 640 s in the r5 local run while headline_compile_s
+    # read 3.8 s and mis-probed the cache as warm).
     n_passes = 1 if quick else 5
     t_c0 = time.perf_counter()
-    conv.convert_wavs_multi(wavs[:1], [0], trim=False)
+    conv.convert_wavs_multi(wavs, [0], trim=False)
     headline_compile_s = time.perf_counter() - t_c0
     cache_warm = headline_compile_s < 60.0
     print(
@@ -933,7 +938,7 @@ def main():
                 hps, acfg, enc_params, dec_params, gl_iters=gl_iters,
                 batch_size=n_utts, compute_dtype="float32", pcm_wire="int16",
             )
-            conv_exact.convert_wavs_multi(wavs[:1], [0], trim=False)  # compile
+            conv_exact.convert_wavs_multi(wavs, [0], trim=False)  # compile (full batch: 1-wav warmup would compile only the 1-row program)
             times_ex = []
             for p in range(n_passes):
                 t0 = time.perf_counter()
