@@ -1,16 +1,20 @@
 """Stage-2 patchGAN value probe: A/B several GAN configs from ONE shared
 stage-1 state and measure what stage 2 actually buys (ref stage-2 purpose =
-sharper, more target-like output; VERDICT r2 item 5 "exists != demonstrated").
+sharper, more target-like output; VERDICT r2 item 5 "exists != demonstrated";
+VERDICT r4 weak #5 strengthening: >=64 held-out utterances, multi-seed GAN
+arms, chunk-MEAN W-distance trend instead of single-step samples).
 
 Reuses the convergence demo's corpus + probes so numbers are comparable:
 for each config it reports target-envelope distance (lower = more
-target-voiced), envelope accuracy, and spectral sharpness (higher = less
-decoder blur) before/after the GAN phase, plus the critic's W-distance
-trend. Prints one JSON report; use it to pick the demo's stage-2 recipe.
+target-voiced), envelope cos/smoothed-L2 (shape probes that separate
+"added detail" from "drifted off the target voice"), 6-way target
+accuracy, and spectral sharpness (higher = less decoder blur), plus the
+critic's W-distance trend averaged over each training chunk. Multi-seed
+configs report per-seed numbers and mean±sd. Writes docs/stage2_ab.json.
 
 Usage:
     python tools/stage2_ab.py                 # TPU, demo-scale stage 1
-    python tools/stage2_ab.py --cpu --iters 60   # quick CPU smoke
+    python tools/stage2_ab.py --cpu --iters 60 --n-real 2  # quick CPU smoke
 """
 
 from __future__ import annotations
@@ -30,7 +34,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=600, help="stage-1 iters per phase")
-    ap.add_argument("--out", default=None)
+    ap.add_argument("--n-real", type=int, default=6,
+                    help="realizations per (speaker, class): 6 -> 72 held-out "
+                         "test utts (3 classes x 4 S-speakers x 6)")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("-o", "--out", default=str(REPO / "docs" / "stage2_ab.json"))
     args = ap.parse_args()
 
     import jax
@@ -46,7 +54,7 @@ def main() -> int:
     import sys
 
     sys.path.insert(0, str(REPO / "examples"))
-    from convergence_demo import make_corpus, spectral_envelope  # noqa: E402
+    from convergence_demo import SPEAKERS, make_corpus, spectral_envelope  # noqa: E402
 
     from zerospeech_tts_tpu.config import AudioConfig, Hps
     from zerospeech_tts_tpu.convert import Converter
@@ -56,9 +64,9 @@ def main() -> int:
     from zerospeech_tts_tpu.train import Solver
 
     t_start = time.time()
-    work = Path(args.out or tempfile.mkdtemp(prefix="zs_s2ab_"))
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="zs_s2ab_"))
     corpus = work / "corpus"
-    make_corpus(corpus)
+    make_corpus(corpus, n_real=args.n_real)
     acfg = AudioConfig(gl_iters=60)
     base_hps = dict(
         batch_size=32, seg_len=64, n_feat=513, emb_size=128, spk_emb_size=32,
@@ -81,7 +89,7 @@ def main() -> int:
         t0 = time.time()
         state, m = sol.train_many(state, ds, mode, iters)
         print(f"== {mode}: {iters} in {time.time() - t0:.1f}s "
-              f"loss_rec={float(m.get('loss_rec', np.nan)):.3f}")
+              f"loss_rec={float(m.get('loss_rec', np.nan)):.3f}", flush=True)
 
     import h5py
 
@@ -92,23 +100,24 @@ def main() -> int:
                 feats.append(f[f"test/{spk}/{utt}/lin"][:])
                 names.append(utt)
                 src_spks.append(spk)
+    print(f"== {len(names)} held-out test utterances x 2 targets", flush=True)
     tgt_ids = [manifest["speakers"]["V001"], manifest["speakers"]["V002"]]
     # ALL speakers' mean train envelopes: accuracy is a 6-way speaker ID
     # (argmin over every speaker, chance 1/6), matching the convergence
     # demo — the 2-way V001-vs-V002 choice saturated at 1.0 (VERDICT r3)
-    from convergence_demo import SPEAKERS
     env = {s: spectral_envelope(work / "ds.h5", "train", s) for s in SPEAKERS}
 
     def smooth(e, k=15):
         return np.convolve(e, np.ones(k) / k, mode="same")
 
-    # one Converter for all three measurement points (pre + 2 configs): the
-    # compiled programs take params as arguments, so swapping them in skips
-    # recompiling the batch-4 GL-40 programs twice on this compile-bound host
+    # one Converter for all measurement points: the compiled programs take
+    # params as arguments, so swapping them in skips recompiling the
+    # batch-4 GL-40 programs on this compile-bound host
     conv = Converter(hps, acfg, state.enc, state.dec, gl_iters=40, batch_size=4, stats=stats)
 
     def measure(st):
-        """Three target-similarity probes + sharpness.
+        """Target-similarity probes + sharpness over every held-out
+        conversion.
 
         Raw envelope L2 is confounded by stage 2's whole point: the
         L1-trained stage-1 decoder is mean-reverting, so its blurry output
@@ -126,10 +135,9 @@ def main() -> int:
                 _, lin = dsp_audio.get_spectrograms(wav.astype(np.float32) / 32767.0, acfg)
                 e = lin.mean(axis=0)
                 d = {s: float(np.linalg.norm(e - env[s])) for s in env}
-                d_t = d[tgt]
                 hits += int(min(d, key=d.get) == tgt)
                 total += 1
-                d_all.append(d_t)
+                d_all.append(d[tgt])
                 d_sm.append(float(np.linalg.norm(smooth(e) - smooth(env[tgt]))))
                 cos_all.append(float(
                     np.dot(e, env[tgt])
@@ -141,48 +149,87 @@ def main() -> int:
             "target_envelope_dist_smooth": round(float(np.mean(d_sm)), 4),
             "target_envelope_cos": round(float(np.mean(cos_all)), 4),
             "target_envelope_accuracy": round(hits / total, 3),
+            "n_conversions": total,
             "spectral_sharpness": round(float(np.mean(sharp)), 5),
         }
 
     pre = measure(state)
-    print("== stage-1 baseline:", pre)
+    print("== stage-1 baseline:", pre, flush=True)
 
     configs = [
-        {"name": "demo_current", "gan_iters": 100, "n_critic": 2, "beta_rec": 0.0},
-        {"name": "rec_anchor_long", "gan_iters": 300, "n_critic": 2, "beta_rec": 0.2},
+        {"name": "demo_current", "gan_iters": 100, "n_critic": 2, "beta_rec": 0.0,
+         "beta_clf": 1.0, "seeds": 1},
+        {"name": "rec_anchor_300", "gan_iters": 300, "n_critic": 2, "beta_rec": 0.2,
+         "beta_clf": 1.0, "seeds": 3},
+        {"name": "aux_boost_300", "gan_iters": 300, "n_critic": 2, "beta_rec": 0.2,
+         "beta_clf": 2.0, "seeds": 3},
+        {"name": "rec_anchor_1000", "gan_iters": 1000, "n_critic": 2, "beta_rec": 0.2,
+         "beta_clf": 1.0, "seeds": 1},
     ]
-    report = {"stage1_iters": args.iters, "pre": pre, "configs": []}
+    report = {
+        "stage1_iters": args.iters,
+        "n_test_utts": len(names),
+        "pre": pre,
+        "w_dist_note": (
+            "trend points are MEANS over each training chunk "
+            "(train_many metrics_reduce='mean'), not single-step samples — "
+            "the r4 trend's apparent non-monotonicity was single-step noise"
+        ),
+        "configs": [],
+    }
+    mkey = [
+        "target_envelope_dist", "target_envelope_dist_smooth",
+        "target_envelope_cos", "target_envelope_accuracy", "spectral_sharpness",
+    ]
     for cfg in configs:
-        h2 = Hps(**base_hps, n_critic=cfg["n_critic"], beta_rec=cfg["beta_rec"])
+        h2 = Hps(**base_hps, n_critic=cfg["n_critic"], beta_rec=cfg["beta_rec"],
+                 beta_clf=cfg["beta_clf"])
         sol2 = Solver(h2)
-        st = jax.tree.map(jax.numpy.copy, state)
-        trend = []
+        seed_rows = []
         t0 = time.time()
-        n_chunks = 4
-        per = max(1, cfg["gan_iters"] // n_chunks)
-        for _ in range(n_chunks):
-            st, m = sol2.train_many(st, ds, "patchGAN", per)
-            trend.append(round(float(m["w_dist"]), 3))
-        post = measure(st)
+        for s in range(cfg["seeds"]):
+            st = jax.tree.map(jax.numpy.copy, state)
+            if s:  # decorrelate the GAN phase (batch draws + gumbel + D init path)
+                st = st.replace(rng=jax.random.PRNGKey(1000 + s))
+            trend = []
+            n_chunks = 6
+            per = max(1, cfg["gan_iters"] // n_chunks)
+            for _ in range(n_chunks):
+                st, m = sol2.train_many(st, ds, "patchGAN", per,
+                                        metrics_reduce="mean")
+                trend.append(round(float(m["w_dist"]), 3))
+            post = measure(st)
+            seed_rows.append({"seed": s, "post": post, "w_dist_trend_chunk_mean": trend})
+            print(f"==   {cfg['name']} seed {s}: {post} trend {trend}", flush=True)
+        mean_post = {
+            k: round(float(np.mean([r["post"][k] for r in seed_rows])), 4) for k in mkey
+        }
+        sd_post = {
+            k: round(float(np.std([r["post"][k] for r in seed_rows])), 4) for k in mkey
+        } if len(seed_rows) > 1 else None
         row = {
-            **cfg,
-            "post": post,
-            "envelope_dist_delta": round(pre["target_envelope_dist"] - post["target_envelope_dist"], 4),
+            **{k: cfg[k] for k in ("name", "gan_iters", "n_critic", "beta_rec",
+                                   "beta_clf", "seeds")},
+            "post_mean": mean_post,
+            **({"post_sd": sd_post} if sd_post else {}),
+            "seed_runs": seed_rows,
+            "envelope_dist_delta": round(pre["target_envelope_dist"] - mean_post["target_envelope_dist"], 4),
             "envelope_dist_smooth_delta": round(
-                pre["target_envelope_dist_smooth"] - post["target_envelope_dist_smooth"], 4),
+                pre["target_envelope_dist_smooth"] - mean_post["target_envelope_dist_smooth"], 4),
             "envelope_cos_delta": round(
-                post["target_envelope_cos"] - pre["target_envelope_cos"], 4),
-            "sharpness_delta": round(post["spectral_sharpness"] - pre["spectral_sharpness"], 5),
-            "w_dist_trend": trend,
+                mean_post["target_envelope_cos"] - pre["target_envelope_cos"], 4),
+            "accuracy_delta": round(
+                mean_post["target_envelope_accuracy"] - pre["target_envelope_accuracy"], 4),
+            "sharpness_delta": round(mean_post["spectral_sharpness"] - pre["spectral_sharpness"], 5),
             "seconds": round(time.time() - t0, 1),
         }
         report["configs"].append(row)
-        print("==", json.dumps(row))
+        print("==", json.dumps({k: row[k] for k in row if k != "seed_runs"}), flush=True)
 
     report["wall_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(report, indent=2))
-    (work / "stage2_ab.json").write_text(json.dumps(report, indent=2) + "\n")
-    print(f"report -> {work / 'stage2_ab.json'}")
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    print(f"report -> {args.out}")
     return 0
 
 

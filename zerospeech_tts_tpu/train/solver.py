@@ -459,7 +459,7 @@ class Solver:
             "train": type(self).step_train,
         }[mode].__wrapped__
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6), donate_argnums=1)
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7), donate_argnums=1)
     def train_many(
         self,
         state: TrainState,
@@ -468,12 +468,17 @@ class Solver:
         k_steps: int,
         batch_sharding=None,
         pairs: bool = True,
+        metrics_reduce: str = "last",
     ):
         """Run k_steps of ``mode`` in ONE dispatch: a lax.scan whose body
         samples the batch from the device-resident dataset and applies the
         un-jitted step. Zero host traffic per step — the TPU-native answer
         to the reference's per-batch DataLoader loop. Returns the state and
-        the LAST step's metrics.
+        the LAST step's metrics (``metrics_reduce="mean"`` averages them
+        over the whole dispatch instead — a single-step sample of a noisy
+        scalar like the critic's W-distance estimate is a poor trend
+        signal; the mean over the chunk is the statistic A/B tools should
+        plot).
 
         For mode='patchGAN' each scan iteration is one full GAN cycle
         (n_critic D steps + 1 G step), counting as n_critic+1 solver steps.
@@ -523,6 +528,8 @@ class Solver:
                 return step(self, st, sample(k))
 
         state, metrics = jax.lax.scan(body, state, None, length=k_steps)
+        if metrics_reduce == "mean":
+            return state, jax.tree.map(lambda x: x.mean(axis=0), metrics)
         return state, jax.tree.map(lambda x: x[-1], metrics)
 
     def train_device(
