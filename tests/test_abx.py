@@ -176,6 +176,24 @@ def test_dtw_vectorized_matches_scalar_dp():
     assert ev.dtw_distance(a, b) == pytest.approx(_dtw_scalar(a, b), abs=1e-12)
 
 
+def test_dtw_many_matches_per_pair():
+    """The shape-grouped batched DTW (round 5: one sweep for the whole ABX
+    run) must equal per-pair dtw_distance on every regime it routes:
+    small binary groups (batched Hamming matmul + group DP), small
+    NON-binary pairs (broadcast distance), and large pairs (>1024-cell
+    grid: falls back to dtw_distance inside _dtw_many)."""
+    rng = np.random.default_rng(9)
+    pairs = []
+    for _ in range(30):  # small binary, mixed shapes -> several groups
+        ta, tb = int(rng.integers(2, 13)), int(rng.integers(2, 13))
+        pairs.append((rng.integers(0, 2, (ta, 8)), rng.integers(0, 2, (tb, 8))))
+    pairs.append((rng.standard_normal((5, 8)), rng.standard_normal((7, 8))))  # non-binary
+    pairs.append((rng.integers(0, 2, (60, 16)), rng.integers(0, 2, (45, 16))))  # large
+    got = ev._dtw_many(pairs)
+    for g, (a, b) in zip(got, pairs):
+        assert g == pytest.approx(ev.dtw_distance(a, b), abs=1e-12)
+
+
 def _rand_items(rng, n_classes=3, n_speakers=3, per_pool=3, dim=6):
     items = []
     for c in range(n_classes):

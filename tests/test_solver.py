@@ -186,6 +186,20 @@ def test_train_many_device_data(tmp_path, tiny_hps):
     assert int(state.step) == 8 + 2 * (h.n_critic + 1)
     assert np.isfinite(float(m3["loss_d"])) and np.isfinite(float(m3["loss_g"]))
 
+    # metrics_reduce="mean" (round 5): at k=1 the chunk mean IS the last
+    # step, exactly — the same state must produce identical metrics under
+    # both reductions (deep-copied: train_many donates its input)
+    st_a = jax.tree.map(jnp.copy, state)
+    st_b = jax.tree.map(jnp.copy, state)
+    _, m_last = sol.train_many(st_a, ds, "train", 1)
+    _, m_mean = sol.train_many(st_b, ds, "train", 1, None, True, "mean")
+    for k in m_last:
+        assert float(m_last[k]) == pytest.approx(float(m_mean[k]), rel=1e-6), k
+    # and over a multi-step chunk the mean stays finite for every metric
+    st_c = jax.tree.map(jnp.copy, state)
+    _, m_mean3 = sol.train_many(st_c, ds, "patchGAN", 3, None, True, "mean")
+    assert all(np.isfinite(float(v)) for v in m_mean3.values())
+
 
 def test_train_device_loop(tmp_path, tiny_hps):
     import h5py
