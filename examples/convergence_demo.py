@@ -186,6 +186,11 @@ def main():
         lat_sched_iters=max(1, args.iters),
         alpha_enc=0.02,
         n_critic=2,
+        # stage-2 recipe chosen off the r5 A/B (docs/stage2_ab.json): the
+        # beta_rec anchor + longer GAN phase reaches 6-way target accuracy
+        # 1.0 with envelope shape improving, vs 0.5 for the quick
+        # no-anchor 100-iter recipe
+        beta_rec=0.2,
         **({"lambda_pair": args.lambda_pair} if args.lambda_pair is not None else {}),
     )
     manifest = build_corpus(corpus, work / "ds.h5", acfg)
@@ -307,7 +312,7 @@ def main():
     _, _, pre = convert_and_measure(state)
     report["stage2_pre"] = pre
     n_chunks = 4
-    iters_per_chunk = max(1, (args.iters // 6) // n_chunks)
+    iters_per_chunk = max(1, (args.iters // 2) // n_chunks)  # 300 GAN iters at the default 600 (r5 A/B: length is the stage-2 lever)
     gan_iters = n_chunks * iters_per_chunk  # what the loop ACTUALLY runs
     trend = []
     t0 = time.time()
