@@ -864,6 +864,28 @@ def main():
                     emit()
                 except Exception as e:
                     print(f"matmul-precision train probe failed: {e!r}", file=sys.stderr)
+            # batch-128 arm (VERDICT r4 ask 6): the step is GRU-latency-
+            # bound at fixed seg_len, so batch is near-free MFU —
+            # measured ladder 32/64/128 -> MFU 0.31/0.42/0.45
+            # (docs/train_stage_profile.json). Recorded so the driver
+            # artifact carries a train MFU >= 0.4 point; the Hps default
+            # stays 32 (reference-faithful).
+            if arm("train_b128", 500):
+                try:
+                    h128 = hps.replace(n_speakers=8, batch_size=128)
+                    ds128 = DeviceDataset.from_h5(h5p, h128, stats=False)
+                    sol128 = Solver(h128)
+                    st128 = sol128.init_state(jax.random.PRNGKey(0))
+                    st128, m128 = sol128.train_many(st128, ds128, "train", 25)
+                    _ = float(m128["loss_rec"])
+                    t0 = time.perf_counter()
+                    st128, m128 = sol128.train_many(st128, ds128, "train", 25)
+                    _ = float(m128["loss_rec"])
+                    dt128 = time.perf_counter() - t0
+                    record["train_steps_per_sec_b128"] = round(25 / dt128, 1)
+                    emit()
+                except Exception as e:
+                    print(f"train b128 arm failed: {e!r}", file=sys.stderr)
         except Exception as e:  # keep the record alive, but say why
             print(f"train-throughput bench failed: {e!r}", file=sys.stderr)
         finally:
@@ -911,6 +933,12 @@ def main():
                     sps_hp = record.get("train_steps_per_sec_matmul_f32")
                     if sps_hp:
                         record["train_mfu_matmul_f32"] = round(fl * sps_hp / 197e12, 4)
+                    sps_128 = record.get("train_steps_per_sec_b128")
+                    fl_128 = cache.get(
+                        f"b128_s{hps.seg_len}_f{hps.n_feat}_jax{jax.__version__}"
+                    )
+                    if sps_128 and fl_128:
+                        record["train_mfu_b128"] = round(fl_128 * sps_128 / 197e12, 4)
                 emit()
             except Exception as e:
                 print(f"train flop count unavailable: {e!r}", file=sys.stderr)
