@@ -317,7 +317,10 @@ def main():
     trend = []
     t0 = time.time()
     for ci in range(n_chunks):
-        state, m = sol.train_many(state, ds, "patchGAN", iters_per_chunk)
+        # chunk-MEAN w_dist (round 5): a single-step sample of the critic
+        # estimate made the r4 trend read as noise (VERDICT r4 weak #5)
+        state, m = sol.train_many(state, ds, "patchGAN", iters_per_chunk,
+                                  metrics_reduce="mean")
         trend.append(round(float(m["w_dist"]), 4))
     dt = time.time() - t0
     gan_steps = gan_iters * (hps.n_critic + 1)

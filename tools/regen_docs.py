@@ -58,7 +58,7 @@ def convergence_block() -> str:
         pre, post = rep["stage2_pre"], rep["stage2_post"]
         rows += [
             ("stage-2 W-distance trend", str(rep["stage2_w_dist_trend"]),
-             "critic's real-vs-fake estimate over the patchGAN phase"),
+             "critic's real-vs-fake estimate, chunk MEANS over the patchGAN phase"),
             ("stage-2 target accuracy (6-way)",
              f"{pre['target_envelope_accuracy']:.2f} → "
              f"**{post['target_envelope_accuracy']:.2f}**",
