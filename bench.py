@@ -492,8 +492,10 @@ def main():
                     "utt_per_sec_device_resident_gl48": round(n_utts / dt_dev48, 4),
                     "rtf_device_resident_gl48": round(n_utts * (n_samp / sr) / dt_dev48, 1),
                     "gl48_quality_basis": (
-                        "momentum-GL-48 geomean consistency <= plain-GL-100 "
-                        "(docs/gl_quality_vs_iters.json; worst signal 1.071x)"
+                        "corpus-level (docs/gl_corpus_ab.json, 48 model-decoded "
+                        "magnitudes): consistency BETTER on 48/48 (geomean ratio "
+                        "0.90) but log-domain feature-L1 ~2% worse on all — "
+                        "secondary arm, headline stays GL-100"
                     ),
                 }
             )
