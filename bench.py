@@ -228,13 +228,23 @@ def main():
     # pass 0 took 640 s in the r5 local run while headline_compile_s
     # read 3.8 s and mis-probed the cache as warm).
     n_passes = 1 if quick else 5
+    # absorb the ONE-TIME tunnel warmup with a trivial dispatch first: the
+    # first execution of any program in a fresh process pays ~5-10 min of
+    # tunnel session setup on this host (measured 578 s in the r5 local
+    # run), which would otherwise be booked as "compile" and make the
+    # cache-warmness probe below read cold on a fully warm cache
+    import jax.numpy as _jnp
+
+    t_t0 = time.perf_counter()
+    float(_jnp.ravel(_jnp.zeros(8) + 1.0)[0])
+    tunnel_warmup_s = time.perf_counter() - t_t0
     t_c0 = time.perf_counter()
     conv.convert_wavs_multi(wavs, [0], trim=False)
     headline_compile_s = time.perf_counter() - t_c0
     cache_warm = headline_compile_s < 60.0
     print(
-        f"headline compile {headline_compile_s:.1f}s (cache "
-        f"{'warm' if cache_warm else 'cold'})",
+        f"tunnel warmup {tunnel_warmup_s:.1f}s; headline compile "
+        f"{headline_compile_s:.1f}s (cache {'warm' if cache_warm else 'cold'})",
         file=sys.stderr,
     )
     times = []
@@ -279,6 +289,7 @@ def main():
         "n_passes_median": n_passes,
         "passes_utt_per_sec": [round(n_utts / t, 2) for t in times],
         "config": "fused PCM-in program: mu-law 8-bit PCM wire + on-device f32 frontend + bf16 compute",
+        "tunnel_warmup_s": round(tunnel_warmup_s, 1),
         "headline_compile_s": round(headline_compile_s, 1),
         "skipped_arms": [],
     }
