@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--no-pairs", action="store_true",
                        help="drop the same-utterance pair fields from stage-1 "
                             "batches (disables the hps.lambda_pair objective)")
+        p.add_argument("--train-batch-size", type=int, default=None,
+                       help="override hps.batch_size for training. The step is "
+                            "GRU-latency-bound at fixed seg_len, so larger "
+                            "batches are near-free MFU (measured 32/64/128 -> "
+                            "0.31/0.42/0.45; docs/train_stage_profile.json)")
 
     p = sub.add_parser("convert", help="corpus conversion + unit extraction (ref --test)")
     _common(p)
@@ -487,6 +492,8 @@ def _make_training(args):
     from zerospeech_tts_tpu.train import CheckpointManager, Logger, Solver
 
     hps, acfg = load_configs(args.hps)
+    if getattr(args, "train_batch_size", None):
+        hps = hps.replace(batch_size=args.train_batch_size)
     mesh = _mesh_from_arg(args.mesh)
     sharding = None
     if mesh is not None:
