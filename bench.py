@@ -300,9 +300,6 @@ def main():
 
     emit()  # the driver-parseable artifact exists from this point on
 
-    if quick:
-        return
-
     # ------------------------------------------------------------------
     # Optional arms, ordered by artifact value per compile-second. Each is
     # budget-gated on a cold/warm cost estimate, individually fail-soft,
@@ -322,7 +319,9 @@ def main():
         return False
 
     # --- fidelity: units vs the f32 host-feature path (batch-4 GL-2 is a
-    # small compile) + mu-law requantization sanity on the headline output
+    # small compile) + mu-law requantization sanity on the headline output.
+    # Runs in --quick too (quick exits right after): the quick smoke must
+    # keep detecting a units-corrupting codec/frontend regression.
     if arm("fidelity", 180):
         try:
             n_chk = min(4, n_utts)
@@ -358,6 +357,9 @@ def main():
             emit()
         except Exception as e:
             print(f"fidelity arm failed: {e!r}", file=sys.stderr)
+
+    if quick:
+        return
 
     # ------------------------------------------------------------------
     # DEVICE-RESIDENT (no-wire) throughput + MFU (VERDICT r2 item 1): the
@@ -916,25 +918,34 @@ def main():
 
             cache_p = "/tmp/zstts_train_flops.json"
             key = f"b{hps.batch_size}_s{hps.seg_len}_f{hps.n_feat}_jax{jax.__version__}"
-            try:
+
+            def flops_for(k: str, batch: int):
+                """Per-step FLOPs from the killable CPU child, /tmp-cached
+                per geometry (the count is deterministic per geometry)."""
                 cache = {}
                 try:
                     with open(cache_p) as f:
                         cache = json.load(f)
                 except (OSError, ValueError):
                     pass
-                fl = cache.get(key)
-                if fl is None:
+                fl_k = cache.get(k)
+                if fl_k is None:
                     out = subprocess.run(
-                        [sys.executable, os.path.join(os.path.dirname(__file__), "tools", "train_flops.py")],
+                        [sys.executable,
+                         os.path.join(os.path.dirname(__file__), "tools", "train_flops.py"),
+                         "--batch-size", str(batch)],
                         capture_output=True, text=True, timeout=300,
                         cwd=os.path.dirname(os.path.abspath(__file__)),
                         env={**os.environ, "JAX_PLATFORMS": "cpu"},
                     )
-                    fl = json.loads(out.stdout.strip().splitlines()[-1])["flops_per_step"]
-                    cache[key] = fl  # merge: other geometries/jax versions stay cached
+                    fl_k = json.loads(out.stdout.strip().splitlines()[-1])["flops_per_step"]
+                    cache[k] = fl_k  # merge: other geometries/jax versions stay cached
                     with open(cache_p, "w") as f:
                         json.dump(cache, f)
+                return fl_k
+
+            try:
+                fl = flops_for(key, hps.batch_size)
                 record.update(
                     {
                         "train_gflops_per_step_xla_counted": round(fl / 1e9, 2),
@@ -947,10 +958,13 @@ def main():
                     if sps_hp:
                         record["train_mfu_matmul_f32"] = round(fl * sps_hp / 197e12, 4)
                     sps_128 = record.get("train_steps_per_sec_b128")
-                    fl_128 = cache.get(
-                        f"b128_s{hps.seg_len}_f{hps.n_feat}_jax{jax.__version__}"
-                    )
-                    if sps_128 and fl_128:
+                    if sps_128:
+                        # self-sufficient: count b128 FLOPs here rather than
+                        # relying on a prior tools/train_profile.py run
+                        # having warmed the /tmp cache
+                        fl_128 = flops_for(
+                            f"b128_s{hps.seg_len}_f{hps.n_feat}_jax{jax.__version__}", 128
+                        )
                         record["train_mfu_b128"] = round(fl_128 * sps_128 / 197e12, 4)
                 emit()
             except Exception as e:
@@ -1009,7 +1023,11 @@ def main():
                     "utt_per_sec_exact": round(n_utts / dt_ex, 4),
                     "exact_config": "all-f32 program + int16 PCM wire (GL kernel bf16-internal as always)",
                     "units_agreement_exact_vs_f32": round(exact_agree, 4),
-                    "units_f32_cross_geometry_sensitivity_r3": 1.0,  # measured r3; probe retired to save a cold compile
+                    # the cross-geometry probe (same all-f32 pipeline at
+                    # batch 4 vs 32) was retired after measuring 1.0 in r3
+                    # to save a cold compile; a NOTE, not a number — this
+                    # run did not measure it
+                    "units_f32_cross_geometry_note": "1.0 measured r3; probe retired, not re-measured",
                     "units_agreement_fast_vs_exact_all": round(fast_vs_exact, 4),
                 }
             )

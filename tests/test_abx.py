@@ -189,9 +189,14 @@ def test_dtw_many_matches_per_pair():
         pairs.append((rng.integers(0, 2, (ta, 8)), rng.integers(0, 2, (tb, 8))))
     pairs.append((rng.standard_normal((5, 8)), rng.standard_normal((7, 8))))  # non-binary
     pairs.append((rng.integers(0, 2, (60, 16)), rng.integers(0, 2, (45, 16))))  # large
+    # binary and non-binary pairs of the SAME shape: binary-ness must be
+    # decided per pair, never per shape group (a mixed group on the float
+    # path returns last-ulp-different values, and ABX ties compare exactly)
+    pairs.append((rng.integers(0, 2, (6, 8)), rng.integers(0, 2, (9, 8))))
+    pairs.append((rng.standard_normal((6, 8)), rng.standard_normal((9, 8))))
     got = ev._dtw_many(pairs)
     for g, (a, b) in zip(got, pairs):
-        assert g == pytest.approx(ev.dtw_distance(a, b), abs=1e-12)
+        assert g == ev.dtw_distance(a, b), (a.shape, b.shape)  # bit-exact, not approx
 
 
 def _rand_items(rng, n_classes=3, n_speakers=3, per_pool=3, dim=6):

@@ -72,8 +72,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_psum_and_allgather():
-    port = _free_port()
+def _launch_cluster(port: int):
+    """Start the 2 workers against ``port``; returns (rc, out, err) lists."""
     env_base = {
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")  # workers: 1 real CPU device each
@@ -95,7 +95,7 @@ def test_two_process_psum_and_allgather():
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    outs = []
+    results = []
     for p in procs:
         try:
             out, err = p.communicate(timeout=240)
@@ -103,8 +103,23 @@ def test_two_process_psum_and_allgather():
             for q in procs:
                 q.kill()
             pytest.fail("distributed worker hung (coordinator handshake?)")
-        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        results.append((p.returncode, out, err))
+    return results
+
+
+def test_two_process_psum_and_allgather():
+    # _free_port closes its probe socket before the coordinator binds the
+    # port (unavoidable: the coordinator must bind it itself), so another
+    # process can grab it in between; retry on fresh ports rather than
+    # flaking under parallel load
+    for attempt in range(3):
+        results = _launch_cluster(_free_port())
+        if all(rc == 0 for rc, _, _ in results):
+            break
+        if attempt == 2:
+            for rc, _, err in results:
+                assert rc == 0, f"worker failed on every port attempt:\n{err[-2000:]}"
+    outs = [json.loads(out.strip().splitlines()[-1]) for _, out, _ in results]
 
     n_dev = outs[0]["n_devices"]
     assert n_dev >= 2 and outs[1]["n_devices"] == n_dev

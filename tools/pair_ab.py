@@ -111,7 +111,10 @@ def main() -> int:
         ),
     )[0]
 
-    on = points.get("0.1") or points[best]
+    # the r4-compat on/off endpoint framing is ONLY emitted when the sweep
+    # actually contains the 0.1 default and the 0 baseline — substituting
+    # another point under these field names would mislabel the artifact
+    on = points.get("0.1")
     off = points.get("0")
     doc = {
         "what": (
@@ -129,7 +132,7 @@ def main() -> int:
         ),
         "wall_seconds": round(time.time() - t0, 1),
     }
-    if off is not None:
+    if off is not None and on is not None:
         # keep the r4 on/off endpoint framing for comparability
         doc["pair_on"] = on
         doc["pair_off"] = off

@@ -194,6 +194,7 @@ def main() -> int:
             trend = []
             n_chunks = 6
             per = max(1, cfg["gan_iters"] // n_chunks)
+            cfg["gan_iters_executed"] = per * n_chunks  # what the loop ACTUALLY runs (floor rounding)
             for _ in range(n_chunks):
                 st, m = sol2.train_many(st, ds, "patchGAN", per,
                                         metrics_reduce="mean")
@@ -208,8 +209,8 @@ def main() -> int:
             k: round(float(np.std([r["post"][k] for r in seed_rows])), 4) for k in mkey
         } if len(seed_rows) > 1 else None
         row = {
-            **{k: cfg[k] for k in ("name", "gan_iters", "n_critic", "beta_rec",
-                                   "beta_clf", "seeds")},
+            **{k: cfg[k] for k in ("name", "gan_iters", "gan_iters_executed",
+                                   "n_critic", "beta_rec", "beta_clf", "seeds")},
             "post_mean": mean_post,
             **({"post_sd": sd_post} if sd_post else {}),
             "seed_runs": seed_rows,

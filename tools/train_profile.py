@@ -231,12 +231,22 @@ def main() -> None:
         return jax.tree.leaves(jax.grad(loss)(clf_p))[0].sum()
 
     @jax.jit
-    def opt_update():
+    def opt_update(eps):
+        # grads derive from a per-rep staged scalar: an argument-free
+        # closure over compile-time-constant params would (a) be foldable
+        # by XLA and (b) repeat the identical (program, buffers) dispatch
+        # every rep, which the tunnel can dedupe — the exact methodology
+        # bug the bench's distinct-buffers-per-rep rule exists to avoid.
+        # The p+eps construction costs one fused elementwise add per
+        # param, so the reading slightly OVERSTATES the optimizer stage.
         outs = []
         for g, o, p in ((enc_p, opt_enc, enc_p), (dec_p, opt_dec, dec_p), (clf_p, opt_clf, clf_p)):
-            u, _ = sol.tx.update(g, o, p)
+            u, _ = sol.tx.update(jax.tree.map(lambda q: q + eps, g), o, p)
             outs.append(jax.tree.leaves(u)[0].sum())
         return sum(outs)
+
+    def eps_set(rot):
+        return _stage_arrays((np.float32(1e-3 * (rot + 1)),))
 
     stages = {
         "enc_fwd_ms": (enc_fwd, x_set),
@@ -244,7 +254,7 @@ def main() -> None:
         "dec_fwd_ms": (dec_fwd, z_set),
         "dec_fwdbwd_ms": (dec_fwdbwd, z_set),
         "clf_fwdbwd_ms": (clf_fwdbwd, z_set),
-        "opt_update_ms": (opt_update, lambda rot: ()),
+        "opt_update_ms": (opt_update, eps_set),
     }
     for name, (fn, mk) in stages.items():
         dt = time_prog(fn, mk, args.reps)

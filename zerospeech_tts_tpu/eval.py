@@ -182,24 +182,29 @@ def _dtw_many(pairs: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
     groups: dict[tuple, list[int]] = {}
     for n, (u, v) in enumerate(pairs):
         ta, tb = u.shape[0], v.shape[0]
-        if (ta + 1) * (tb + 1) <= 1024:
-            groups.setdefault((ta, tb, u.shape[1]), []).append(n)
+        # binary-ness is decided PER PAIR, before grouping: one non-binary
+        # pair sharing a shape group with binary pairs would otherwise
+        # push the whole group onto the float abs-mean path, whose values
+        # differ from the Hamming-matmul path in the last ulps — and ABX
+        # awards tie credit via exact equality, so the two paths must
+        # never mix within what dtw_distance would compute
+        u_arr, v_arr = np.asarray(u), np.asarray(v)
+        binary = ((u_arr == 0) | (u_arr == 1)).all() and ((v_arr == 0) | (v_arr == 1)).all()
+        if binary and (ta + 1) * (tb + 1) <= 1024:
+            groups.setdefault((ta, tb, u_arr.shape[1]), []).append(n)
         else:
+            # large grids AND non-binary pairs fall back to the per-pair
+            # path, exactly as dtw_distance would route them
             out[n] = dtw_distance(u, v)
     for (ta, tb, dim), idxs in groups.items():
         a = np.stack([np.asarray(pairs[n][0], np.float32) for n in idxs])
         b = np.stack([np.asarray(pairs[n][1], np.float32) for n in idxs])
-        if ((a == 0) | (a == 1)).all() and ((b == 0) | (b == 1)).all():
-            d = (
-                a.sum(axis=2)[:, :, None]
-                + b.sum(axis=2)[:, None, :]
-                - 2.0 * np.einsum("ntd,nsd->nts", a, b)
-            ).astype(np.float64) / dim
-            np.maximum(d, 0.0, out=d)
-        else:
-            d = (
-                np.abs(a[:, :, None, :] - b[:, None, :, :]).mean(axis=3).astype(np.float64)
-            )
+        d = (
+            a.sum(axis=2)[:, :, None]
+            + b.sum(axis=2)[:, None, :]
+            - 2.0 * np.einsum("ntd,nsd->nts", a, b)
+        ).astype(np.float64) / dim
+        np.maximum(d, 0.0, out=d)
         n_g = len(idxs)
         acc = np.full((n_g, ta + 1, tb + 1), np.inf)
         acc[:, 0, 0] = 0.0
